@@ -1,0 +1,359 @@
+"""Scene model + conversion to device-resident SoA buffers.
+
+Host side mirrors ``CRTScene`` (reference: CRTScene.{h,cpp}): settings
+(background color + image size, CRTScene.h:9-14), a camera, meshes, lights,
+materials and textures, with ``get_texture_by_name`` the same linear scan as
+CRTScene.cpp:52-63.
+
+Device side is where the design diverges deliberately from the reference:
+instead of per-mesh GPU vertex/index buffers + driver-built BLAS/TLAS
+(DXRTRenderer.cpp:302-453, 548-806), the whole scene is flattened at load
+time into a single triangle-major SoA pytree (`DeviceScene`) of padded f32 /
+i32 arrays.  All per-vertex attributes (normals, UVs) are pre-gathered to
+per-triangle-corner arrays so the render loop never chases indices, and each
+triangle additionally carries a precomputed **Woop unit-triangle transform**
+(a 3x4 affine map into the triangle's barycentric frame) so that batched
+ray-triangle intersection becomes two dense matmuls on the MXU — see
+``ops.intersect``.
+
+Padding note: triangle arrays are padded to a multiple of ``TRI_PAD`` with
+sentinel triangles whose Woop translation is -1e30 and linear part 0, which
+makes every padded intersection test produce t = +inf (a guaranteed miss)
+without branching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from .camera import Camera
+from .light import Light
+from .material import Material, MaterialType
+from .mesh import Mesh, face_normals
+from .texture import Texture, TextureType
+
+TRI_PAD = 128  # pad triangle count to TPU lane multiples
+
+
+# ---------------------------------------------------------------------------
+# Host-side scene
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SceneSettings:
+    background_color: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    image_width: int = 1920
+    image_height: int = 1080
+
+
+@dataclass
+class Scene:
+    settings: SceneSettings = field(default_factory=SceneSettings)
+    camera: Camera = field(default_factory=Camera)
+    meshes: list[Mesh] = field(default_factory=list)
+    lights: list[Light] = field(default_factory=list)
+    materials: list[Material] = field(default_factory=list)
+    textures: list[Texture] = field(default_factory=list)
+
+    def get_texture_by_name(self, name: str) -> Texture | None:
+        for tex in self.textures:
+            if tex.name == name:
+                return tex
+        return None
+
+    @property
+    def num_triangles(self) -> int:
+        return sum(m.num_triangles for m in self.meshes)
+
+
+# ---------------------------------------------------------------------------
+# Device-side pytrees
+# ---------------------------------------------------------------------------
+
+
+def _register(cls, meta=()):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    data = [f for f in fields if f not in meta]
+    jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=list(meta))
+    return cls
+
+
+@dataclass
+class Geometry:
+    """Triangle-major SoA geometry, padded to a multiple of TRI_PAD."""
+
+    v0: jax.Array  # (T, 3) f32 — first vertex
+    e1: jax.Array  # (T, 3) f32 — v1 - v0
+    e2: jax.Array  # (T, 3) f32 — v2 - v0
+    woop: jax.Array  # (T, 3, 4) f32 — affine map into the unit-triangle frame
+    face_normal: jax.Array  # (T, 3) f32 — unit geometric normal
+    n0: jax.Array  # (T, 3) f32 — per-corner vertex normals (smooth shading)
+    n1: jax.Array
+    n2: jax.Array
+    uv0: jax.Array  # (T, 3) f32 — per-corner UVs (reference stores 3-comp UVs)
+    uv1: jax.Array
+    uv2: jax.Array
+    mat_id: jax.Array  # (T,) i32 — material index; -1 for padding
+    mesh_id: jax.Array  # (T,) i32 — InstanceID analog (mesh index)
+    local_id: jax.Array  # (T,) i32 — PrimitiveIndex analog (tri index in mesh)
+    n_tris: int  # true (unpadded) triangle count
+
+
+_register(Geometry, meta=("n_tris",))
+
+
+@dataclass
+class MaterialTable:
+    mtype: jax.Array  # (M,) i32 — MaterialType
+    albedo: jax.Array  # (M, 3) f32
+    ior: jax.Array  # (M,) f32
+    smooth: jax.Array  # (M,) bool
+    tex_id: jax.Array  # (M,) i32 — index into TextureTable, -1 = constant albedo
+
+
+_register(MaterialTable)
+
+
+@dataclass
+class TextureTable:
+    ttype: jax.Array  # (K,) i32 — TextureType
+    color_a: jax.Array  # (K, 3) f32
+    color_b: jax.Array  # (K, 3) f32
+    scalar: jax.Array  # (K,) f32 — square_size / edge_width
+    bitmap_id: jax.Array  # (K,) i32 — index into atlas, -1 = procedural
+    atlas: jax.Array  # (B, Hmax, Wmax, 3) f32 — normalized bitmap pixels
+    atlas_size: jax.Array  # (B, 2) i32 — (height, width) per bitmap
+
+
+_register(TextureTable)
+
+
+@dataclass
+class LightTable:
+    position: jax.Array  # (L, 3) f32
+    intensity: jax.Array  # (L,) f32
+    n_lights: int
+
+
+_register(LightTable, meta=("n_lights",))
+
+
+@dataclass
+class DeviceScene:
+    geometry: Geometry
+    materials: MaterialTable
+    textures: TextureTable
+    lights: LightTable
+    background_color: jax.Array  # (3,) f32
+
+
+_register(DeviceScene)
+
+
+# ---------------------------------------------------------------------------
+# Flattening
+# ---------------------------------------------------------------------------
+
+
+def _woop_transforms(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> np.ndarray:
+    """Per-triangle 3x4 affine maps W = [A^-1 | -A^-1 v0] with A = [e1 e2 n]
+    (columns), n = cross(e1, e2).  A ray (o, d) maps to o' = W @ (o, 1),
+    d' = W[:, :3] @ d, and intersects at t = -o'_z / d'_z with barycentrics
+    u = o'_x + t d'_x, v = o'_y + t d'_y."""
+    n = np.cross(e1, e2)
+    a = np.stack([e1, e2, n], axis=-1)  # (T, 3, 3) columns
+    det = np.linalg.det(a)
+    ok = np.abs(det) > 1e-30
+    a_safe = np.where(ok[:, None, None], a, np.eye(3, dtype=np.float32))
+    inv = np.linalg.inv(a_safe).astype(np.float32)
+    trans = -np.einsum("tij,tj->ti", inv, v0).astype(np.float32)
+    woop = np.concatenate([inv, trans[:, :, None]], axis=-1)  # (T, 3, 4)
+    # Degenerate sentinel: zero linear part, -1e30 translation => t = +inf.
+    bad = np.zeros((3, 4), dtype=np.float32)
+    bad[:, 3] = -1e30
+    woop = np.where(ok[:, None, None], woop, bad)
+    return woop
+
+
+def _pad(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
+    pad = total - arr.shape[0]
+    if pad <= 0:
+        return arr
+    width = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, width, constant_values=fill)
+
+
+def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
+    v0s, e1s, e2s, fns = [], [], [], []
+    n0s, n1s, n2s = [], [], []
+    uv0s, uv1s, uv2s = [], [], []
+    mat_ids, mesh_ids, local_ids = [], [], []
+
+    for mesh_idx, mesh in enumerate(meshes):
+        if mesh.num_triangles == 0:
+            continue
+        if mesh.normals is None:
+            mesh.calculate_vertex_normals()
+        tri = np.asarray(mesh.indices, np.int64).reshape(-1, 3)
+        verts = np.asarray(mesh.vertices, np.float32)
+        a, b, c = verts[tri[:, 0]], verts[tri[:, 1]], verts[tri[:, 2]]
+        v0s.append(a)
+        e1s.append(b - a)
+        e2s.append(c - a)
+        fns.append(face_normals(verts, mesh.indices))
+        nrm = mesh.normals
+        n0s.append(nrm[tri[:, 0]])
+        n1s.append(nrm[tri[:, 1]])
+        n2s.append(nrm[tri[:, 2]])
+        if len(mesh.uvs):
+            uvs = np.asarray(mesh.uvs, np.float32)
+            uv0s.append(uvs[tri[:, 0]])
+            uv1s.append(uvs[tri[:, 1]])
+            uv2s.append(uvs[tri[:, 2]])
+        else:
+            z = np.zeros((len(tri), 3), np.float32)
+            uv0s.append(z)
+            uv1s.append(z)
+            uv2s.append(z)
+        mat_ids.append(np.full(len(tri), mesh.material_index, np.int32))
+        mesh_ids.append(np.full(len(tri), mesh_idx, np.int32))
+        local_ids.append(np.arange(len(tri), dtype=np.int32))
+
+    if not v0s:  # empty scene: one sentinel triangle
+        v0s = [np.zeros((1, 3), np.float32)]
+        e1s = [np.zeros((1, 3), np.float32)]
+        e2s = [np.zeros((1, 3), np.float32)]
+        fns = [np.zeros((1, 3), np.float32)]
+        n0s = n1s = n2s = [np.zeros((1, 3), np.float32)]
+        uv0s = uv1s = uv2s = [np.zeros((1, 3), np.float32)]
+        mat_ids = [np.full(1, -1, np.int32)]
+        mesh_ids = [np.zeros(1, np.int32)]
+        local_ids = [np.zeros(1, np.int32)]
+        n_true = 0
+    else:
+        n_true = sum(len(x) for x in v0s)
+
+    cat = lambda xs: np.concatenate(xs, axis=0)
+    v0, e1, e2 = cat(v0s), cat(e1s), cat(e2s)
+    woop = _woop_transforms(v0, e1, e2)
+
+    total = max(tri_pad, -(-len(v0) // tri_pad) * tri_pad)
+    bad_woop = np.zeros((3, 4), np.float32)
+    bad_woop[:, 3] = -1e30
+    woop = _pad(woop, total)
+    woop[len(v0):] = bad_woop
+
+    def dev(x):
+        return np.asarray(x)
+
+    geo = Geometry(
+        v0=dev(_pad(v0, total)),
+        e1=dev(_pad(e1, total)),
+        e2=dev(_pad(e2, total)),
+        woop=dev(woop),
+        face_normal=dev(_pad(cat(fns), total)),
+        n0=dev(_pad(cat(n0s), total)),
+        n1=dev(_pad(cat(n1s), total)),
+        n2=dev(_pad(cat(n2s), total)),
+        uv0=dev(_pad(cat(uv0s), total)),
+        uv1=dev(_pad(cat(uv1s), total)),
+        uv2=dev(_pad(cat(uv2s), total)),
+        mat_id=dev(_pad(cat(mat_ids), total, fill=-1)),
+        mesh_id=dev(_pad(cat(mesh_ids), total, fill=-1)),
+        local_id=dev(_pad(cat(local_ids), total, fill=-1)),
+        n_tris=n_true,
+    )
+    return geo
+
+
+def build_material_table(scene: Scene) -> MaterialTable:
+    mats = scene.materials or [Material()]
+    m = len(mats)
+    mtype = np.zeros(m, np.int32)
+    albedo = np.zeros((m, 3), np.float32)
+    ior = np.ones(m, np.float32)
+    smooth = np.zeros(m, bool)
+    tex_id = np.full(m, -1, np.int32)
+    tex_index = {t.name: i for i, t in enumerate(scene.textures)}
+    for i, mat in enumerate(mats):
+        mtype[i] = int(mat.type)
+        albedo[i] = mat.albedo
+        ior[i] = mat.ior
+        smooth[i] = mat.smooth_shading
+        if mat.is_texture():
+            tex_id[i] = tex_index.get(mat.texture_name, -1)
+    return MaterialTable(mtype=mtype, albedo=albedo, ior=ior, smooth=smooth, tex_id=tex_id)
+
+
+def build_texture_table(scene: Scene, base_dir: str = ".") -> TextureTable:
+    texs = scene.textures or [Texture()]
+    k = len(texs)
+    ttype = np.zeros(k, np.int32)
+    color_a = np.zeros((k, 3), np.float32)
+    color_b = np.zeros((k, 3), np.float32)
+    scalar = np.ones(k, np.float32)
+    bitmap_id = np.full(k, -1, np.int32)
+
+    images = []
+    for i, tex in enumerate(texs):
+        ttype[i] = int(tex.type)
+        color_a[i] = tex.color_a
+        color_b[i] = tex.color_b
+        scalar[i] = tex.scalar if tex.scalar else 1.0
+        if tex.type == TextureType.BITMAP:
+            tex.load(base_dir)
+            bitmap_id[i] = len(images)
+            images.append(tex.image)
+
+    if images:
+        hmax = max(im.shape[0] for im in images)
+        wmax = max(im.shape[1] for im in images)
+        atlas = np.zeros((len(images), hmax, wmax, 3), np.float32)
+        sizes = np.zeros((len(images), 2), np.int32)
+        for b, im in enumerate(images):
+            h, w, c = im.shape
+            rgb = np.zeros((h, w, 3), np.float32)
+            rgb[:, :, 0] = im[:, :, 0]
+            if c > 1:
+                rgb[:, :, 1] = im[:, :, 1]
+            if c > 2:
+                rgb[:, :, 2] = im[:, :, 2]
+            atlas[b, :h, :w] = rgb / 255.0
+            sizes[b] = (h, w)
+    else:
+        atlas = np.zeros((1, 1, 1, 3), np.float32)
+        sizes = np.ones((1, 2), np.int32)
+
+    return TextureTable(
+        ttype=ttype, color_a=color_a, color_b=color_b, scalar=scalar,
+        bitmap_id=bitmap_id, atlas=atlas, atlas_size=sizes,
+    )
+
+
+def build_light_table(scene: Scene) -> LightTable:
+    lights = scene.lights
+    n = len(lights)
+    pos = np.zeros((max(n, 1), 3), np.float32)
+    inten = np.zeros(max(n, 1), np.float32)
+    for i, l in enumerate(lights):
+        pos[i] = l.position
+        inten[i] = l.intensity
+    return LightTable(position=pos, intensity=inten, n_lights=n)
+
+
+def build_device_scene(scene: Scene, base_dir: str = ".", tri_pad: int = TRI_PAD) -> DeviceScene:
+    """Flatten a host Scene into the device SoA pytree (numpy arrays; JAX
+    moves them to HBM on first use — the analog of the one-time geometry
+    upload at DXRTRenderer.cpp:302-453, minus the per-mesh fence stalls)."""
+    return DeviceScene(
+        geometry=build_geometry(scene.meshes, tri_pad),
+        materials=build_material_table(scene),
+        textures=build_texture_table(scene, base_dir),
+        lights=build_light_table(scene),
+        background_color=np.asarray(scene.settings.background_color, np.float32),
+    )

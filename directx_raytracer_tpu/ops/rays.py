@@ -1,0 +1,70 @@
+"""Camera ray generation — batched counterpart of the DXR raygen shader.
+
+Reproduces HLSL/ray_tracing_shaders.hlsl:21-70 exactly, but vectorized over
+the whole pixel grid instead of one GPU thread per pixel:
+
+* pixel center offset +0.5, normalize by width/height,
+* NDC mapping x -> 2x-1, y -> 1-2y (y flip),
+* aspect scaling of x by width/height,
+* camera-space direction normalize((x, y, -1)),
+* world direction = normalize(R @ dir) with the camera rotation applied as a
+  column-vector product (``mul(cameraRotation, v)`` on a row_major-uploaded
+  matrix, hlsl:47 + DXRTRenderer.cpp:258-265),
+* TMin = 0.001, TMax = 10000 (hlsl:51-52).
+
+Unlike the reference, width/height are parameters (the reference hard-codes
+1920x1080 in the shader, hlsl:24-25).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.vecmath import normalize
+
+T_MIN = 0.001
+T_MAX = 10000.0
+
+
+# 4x rotated-grid supersampling offsets (BASELINE config 4); spp=1 uses the
+# reference's pixel-center +0.5 (hlsl:35-36).
+RGSS_OFFSETS = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))
+
+
+def generate_rays(position, rotation, width: int, height: int, offset=(0.5, 0.5)):
+    """Primary rays for every pixel.
+
+    Args:
+      position: (3,) f32 camera position.
+      rotation: (3, 3) f32 camera rotation (columns = right/up/forward).
+      width, height: static image size.
+      offset: subpixel sample offset; (0.5, 0.5) = pixel center (reference).
+
+    Returns:
+      origins (H*W, 3), directions (H*W, 3) — row-major pixel order
+      (pixel (px, py) at index py*width + px, like the UAV layout).
+    """
+    position = jnp.asarray(position, jnp.float32)
+    rotation = jnp.asarray(rotation, jnp.float32)
+
+    px = jnp.arange(width, dtype=jnp.float32)[None, :]  # (1, W)
+    py = jnp.arange(height, dtype=jnp.float32)[:, None]  # (H, 1)
+
+    x = (px + offset[0]) / width
+    y = (py + offset[1]) / height
+    x = 2.0 * x - 1.0
+    y = 1.0 - 2.0 * y
+    x = x * (width / height)
+
+    x = jnp.broadcast_to(x, (height, width))
+    y = jnp.broadcast_to(y, (height, width))
+    dir_cam = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)  # (H, W, 3)
+    dir_cam = normalize(dir_cam)
+    # HIGHEST precision: TPU matmuls otherwise run at bf16 and bend rays.
+    dir_world = normalize(
+        jnp.einsum("ij,hwj->hwi", rotation, dir_cam, precision=jax.lax.Precision.HIGHEST)
+    )
+
+    origins = jnp.broadcast_to(position, (height, width, 3))
+    return origins.reshape(-1, 3), dir_world.reshape(-1, 3)

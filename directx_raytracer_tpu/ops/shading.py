@@ -1,0 +1,184 @@
+"""Material evaluation: texture sampling, direct lighting, reflection and
+refraction — the Whitted feature set the reference *declares* (parsed
+materials/lights/textures, CRTSceneParser.cpp:152-405) but never uploads to
+the GPU or executes (SURVEY.md fact 2).  Semantics follow the Chaos Ray
+Tracing course model the `.crtscene` format comes from:
+
+* point light contribution = ``intensity / (4 pi r^2) * max(0, n . l)``,
+  attenuated to zero by an any-hit shadow ray;
+* DIFFUSE  — albedo * sum(light contributions);
+* CONSTANT — flat albedo (no lights, no bounce);
+* REFLECTIVE — perfect mirror, throughput *= albedo;
+* REFRACTIVE — Fresnel-weighted (Schlick) reflection + refraction with total
+  internal reflection, albedo forced to (1,1,1) by the parser
+  (CRTSceneParser.cpp:360-370);
+* textures by type per CRTTexture* formulas (see models/texture.py): EDGES
+  samples *barycentric* (u, v); CHECKER / BITMAP sample interpolated mesh UVs.
+
+Everything is batched over ray arrays; per-material dispatch is vectorized
+selects, not branches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.material import MaterialType
+from ..models.scene import DeviceScene, TextureTable
+from ..models.texture import TextureType
+from ..utils.vecmath import normalize
+
+FOUR_PI = 4.0 * np.pi
+SHADOW_BIAS = 1e-3
+RAY_BIAS = 1e-3
+
+
+def sample_textures(tex: TextureTable, tex_id, uv, bary_uv):
+    """Batched texture lookup.
+
+    Args:
+      tex: texture table.
+      tex_id: (N,) i32 — texture index per ray (>= 0).
+      uv: (N, 2) f32 — interpolated mesh UVs (checker / bitmap).
+      bary_uv: (N, 2) f32 — barycentric (u, v) (edges).
+    Returns (N, 3) f32 colors.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    ttype = tex.ttype[tid]
+    color_a = tex.color_a[tid]
+    color_b = tex.color_b[tid]
+    scalar = tex.scalar[tid]
+
+    # EDGES (CRTTextureEdges.cpp:9-15) — barycentric space.
+    bu, bv = bary_uv[:, 0], bary_uv[:, 1]
+    is_edge = (bu < scalar) | (bv < scalar) | (1.0 - bu - bv < scalar)
+    edges_color = jnp.where(is_edge[:, None], color_a, color_b)
+
+    # CHECKER (CRTTextureChecker.cpp:9-20) — width truncated toward zero.
+    width = (1.0 / scalar).astype(jnp.int32).astype(jnp.float32)
+    u2 = jnp.floor(uv[:, 0] * width).astype(jnp.int32)
+    v2 = jnp.floor(uv[:, 1] * width).astype(jnp.int32)
+    checker_color = jnp.where((((u2 + v2) % 2) == 0)[:, None], color_a, color_b)
+
+    # BITMAP (CRTTextureBitmap.cpp:13-36) — clamp, v-flip, nearest.
+    bid = jnp.maximum(tex.bitmap_id[tid], 0)
+    h = tex.atlas_size[bid, 0].astype(jnp.float32)
+    w = tex.atlas_size[bid, 1].astype(jnp.float32)
+    cu = jnp.clip(uv[:, 0], 0.0, 1.0)
+    cv = jnp.clip(uv[:, 1], 0.0, 1.0)
+    row = ((1.0 - cv) * (h - 1.0)).astype(jnp.int32)
+    col = (cu * (w - 1.0)).astype(jnp.int32)
+    bitmap_color = tex.atlas[bid, row, col]
+
+    out = color_a  # ALBEDO (CRTTextureAlbedo.cpp:8-11)
+    out = jnp.where((ttype == TextureType.EDGES)[:, None], edges_color, out)
+    out = jnp.where((ttype == TextureType.CHECKER)[:, None], checker_color, out)
+    out = jnp.where((ttype == TextureType.BITMAP)[:, None], bitmap_color, out)
+    return out
+
+
+def hit_attributes(dscene: DeviceScene, origins, dirs, hit):
+    """Gather per-ray surface attributes for shading.
+
+    Returns dict with point, normal (smooth/flat per material), geometric
+    normal, albedo (texture-resolved), and material fields.
+    """
+    geo = dscene.geometry
+    mats = dscene.materials
+    tri = jnp.maximum(hit.tri, 0)
+    u = hit.u[:, None]
+    v = hit.v[:, None]
+    w = 1.0 - u - v
+
+    point = origins + dirs * hit.t[:, None]
+    n_geom = geo.face_normal[tri]
+    n_smooth = normalize(w * geo.n0[tri] + u * geo.n1[tri] + v * geo.n2[tri], eps=1e-12)
+
+    mat_id = jnp.maximum(geo.mat_id[tri], 0)
+    smooth = mats.smooth[mat_id]
+    normal = jnp.where(smooth[:, None], n_smooth, n_geom)
+
+    uv = w * geo.uv0[tri] + u * geo.uv1[tri] + v * geo.uv2[tri]
+    albedo = mats.albedo[mat_id]
+    tex_id = mats.tex_id[mat_id]
+    bary_uv = jnp.concatenate([hit.u[:, None], hit.v[:, None]], axis=1)
+    tex_color = sample_textures(dscene.textures, tex_id, uv[:, :2], bary_uv)
+    albedo = jnp.where((tex_id >= 0)[:, None], tex_color, albedo)
+
+    return {
+        "point": point,
+        "normal": normal,
+        "n_geom": n_geom,
+        "albedo": albedo,
+        "mtype": mats.mtype[mat_id],
+        "ior": mats.ior[mat_id],
+    }
+
+
+def direct_lighting(points, normals, lights, occluder_fn):
+    """Lambert-weighted point-light sum with shadow rays.
+
+    Args:
+      points, normals: (N, 3).
+      lights: LightTable.
+      occluder_fn: (origins, dirs, max_t) -> (N,) bool any-hit test, or None
+        to disable shadows.
+    Returns (N, 3) un-albedo'd irradiance-style factor (broadcast to RGB).
+    """
+    n = points.shape[0]
+    total = jnp.zeros((n,), jnp.float32)
+    n_lights = lights.n_lights
+    for i in range(lights.position.shape[0]):
+        if i >= n_lights:
+            break
+        lpos = lights.position[i]
+        linten = lights.intensity[i]
+        to_light = lpos[None, :] - points
+        dist = jnp.linalg.norm(to_light, axis=-1)
+        ldir = to_light / jnp.maximum(dist, 1e-12)[:, None]
+        cos = jnp.maximum(jnp.sum(normals * ldir, axis=-1), 0.0)
+        contrib = linten / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2) * cos
+        if occluder_fn is not None:
+            shadow_o = points + normals * SHADOW_BIAS
+            blocked = occluder_fn(shadow_o, ldir, dist - 2.0 * SHADOW_BIAS)
+            contrib = jnp.where(blocked, 0.0, contrib)
+        total = total + contrib
+    return total[:, None]
+
+
+def reflect(d, n):
+    """Mirror direction: d - 2 (d.n) n."""
+    return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+
+
+def refract_fresnel(d, n, ior):
+    """Dielectric interaction for unit incident d, outward surface normal n.
+
+    Handles rays entering (d.n < 0) and exiting (d.n > 0) the medium, total
+    internal reflection, and Schlick's Fresnel approximation.
+
+    Returns (refr_dir (N,3), refl_dir (N,3), fresnel_r (N,), tir (N,)):
+      fresnel_r is the reflection weight; refraction weight = 1 - fresnel_r
+      (forced to 1 on TIR).
+    """
+    cos_i = jnp.sum(d * n, axis=-1)  # negative when entering
+    entering = cos_i < 0.0
+    n_oriented = jnp.where(entering[:, None], n, -n)
+    cos_i = jnp.abs(cos_i)
+    eta = jnp.where(entering, 1.0 / ior, ior)  # n1/n2
+
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+
+    refr = eta[:, None] * d + (eta * cos_i - cos_t)[:, None] * n_oriented
+    refr = normalize(refr, eps=1e-12)
+    refl = reflect(d, n_oriented)
+
+    r0 = ((eta - 1.0) / (eta + 1.0)) ** 2
+    # Use the grazing-side cosine (cos_i when entering denser, else cos_t).
+    cos_x = jnp.where(eta < 1.0, cos_i, cos_t)
+    fres = r0 + (1.0 - r0) * (1.0 - cos_x) ** 5
+    fres = jnp.where(tir, 1.0, fres)
+    return refr, refl, fres, tir
