@@ -110,6 +110,16 @@ def _closest_in_block(origins, dirs, woop, tri_base, carry, t_min, t_max):
     )
 
 
+def _pad_woop(woop, tri_block: int):
+    """Pad the triangle axis to a multiple of ``tri_block`` with guaranteed-
+    miss sentinels (zero linear part, -1e30 translation => t folds to inf)."""
+    rem = (-woop.shape[0]) % tri_block
+    if not rem:
+        return woop
+    bad = jnp.zeros((rem, 3, 4), woop.dtype).at[:, :, 3].set(-1e30)
+    return jnp.concatenate([woop, bad], axis=0)
+
+
 def intersect_bruteforce(
     origins,
     dirs,
@@ -126,11 +136,9 @@ def intersect_bruteforce(
     the transient (R_blk, 3*T_blk) matmul outputs to VMEM-friendly sizes.
     """
     n = origins.shape[0]
-    t = woop.shape[0]
-    tri_block = min(tri_block, t)
-    if t % tri_block:
-        raise ValueError(f"padded triangle count {t} not divisible by {tri_block}")
-    n_tri_blocks = t // tri_block
+    tri_block = min(tri_block, woop.shape[0])
+    woop = _pad_woop(woop, tri_block)
+    n_tri_blocks = woop.shape[0] // tri_block
     woop_blocks = woop.reshape(n_tri_blocks, tri_block, 3, 4)
 
     ray_block = min(ray_block, n)
@@ -192,6 +200,61 @@ def refine_hit(origins, dirs, v0, e1, e2, hit: Hit) -> Hit:
         u=jnp.where(ok, u, hit.u),
         v=jnp.where(ok, v, hit.v),
     )
+
+
+def occluded_bruteforce(
+    origins,
+    dirs,
+    woop,
+    t_max,
+    t_min=T_MIN,
+    ray_block: int = 16384,
+    tri_block: int = 512,
+):
+    """Any-hit test: True where some triangle lies in (t_min, t_max[i]).
+
+    Used for shadow rays (the capability surface the reference parses lights
+    for but never traces — SURVEY.md fact 1: recursion depth 1, no TraceRay
+    in closestHit).  Same blocked Woop-matmul formulation as
+    ``intersect_bruteforce`` but folds a boolean OR instead of a running min
+    (no early exit: XLA control flow would serialize the ray batch, and the
+    full scan keeps the MXU busy).
+
+    Args:
+      origins, dirs: (N, 3) f32; dirs need not be normalized if t_max is in
+        the same parameterization.
+      t_max: (N,) f32 per-ray upper bound (e.g. distance to the light).
+    Returns (N,) bool.
+    """
+    n = origins.shape[0]
+    tri_block = min(tri_block, woop.shape[0])
+    woop = _pad_woop(woop, tri_block)
+    n_tri_blocks = woop.shape[0] // tri_block
+    woop_blocks = woop.reshape(n_tri_blocks, tri_block, 3, 4)
+
+    ray_block = min(ray_block, n)
+    pad = (-n) % ray_block
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), t_min, t_max.dtype)])
+    n_ray_blocks = (n + pad) // ray_block
+    o_blocks = origins.reshape(n_ray_blocks, ray_block, 3)
+    d_blocks = dirs.reshape(n_ray_blocks, ray_block, 3)
+    tm_blocks = t_max.reshape(n_ray_blocks, ray_block)
+
+    def per_ray_block(args):
+        o, d, tm = args
+
+        def step(blocked, w):
+            tt, _, _, _ = intersect_block(o, d, w, t_min, T_MAX)
+            return blocked | jnp.any(tt < tm[:, None], axis=1), None
+
+        blocked, _ = jax.lax.scan(step, jnp.zeros((ray_block,), bool), woop_blocks)
+        return blocked
+
+    out = jax.lax.map(per_ray_block, (o_blocks, d_blocks, tm_blocks))
+    return out.reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------

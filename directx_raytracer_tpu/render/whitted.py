@@ -1,0 +1,248 @@
+"""Wavefront Whitted renderer — the feature set the reference *declares*
+but never executes.
+
+The reference parses materials, point lights and textures
+(CRTSceneParser.cpp:152-405) yet uploads none of it to the GPU, caps
+``MaxTraceRecursionDepth`` at 1 (DXRTRenderer.cpp:1169-1179) and never calls
+``TraceRay`` from its closest-hit shader — so shadows/reflection/refraction
+exist only as capability surface (SURVEY.md facts 1-2).  Here that surface is
+made real, designed as a TPU wavefront rather than a recursive per-pixel
+shader:
+
+* a ray *wavefront* is a fixed-capacity SoA queue (origins, dirs, RGB
+  throughput, pixel id, active mask) — capacity Q = H*W, so every pass costs
+  the same as the primary pass and shapes stay static under jit;
+* each bounce: closest-hit (MXU Woop matmuls), attribute gather, terminal
+  shading scattered into the framebuffer (`.at[pixel].add`), then the
+  surviving specular continuations are **compacted** (cumsum prefix + scatter
+  with mode='drop') into the next wavefront;
+* REFRACTIVE surfaces *split* the ray: the refraction branch (weight
+  1 - Fresnel) goes in the first half of the candidate list, the reflection
+  branch (weight Fresnel) in the second half, so under queue overflow the
+  perceptually-dominant transmission branch survives first.  Overflow is
+  counted and returned, never silent;
+* shading model follows the Chaos RT course the `.crtscene` format comes
+  from: point light contribution ``intensity / (4 pi r^2) * max(0, n.l)``
+  gated by an any-hit shadow ray; DIFFUSE/CONSTANT terminate; REFLECTIVE
+  multiplies throughput by albedo and mirrors; REFRACTIVE uses Schlick
+  Fresnel + total internal reflection (albedo forced to white by the parser,
+  CRTSceneParser.cpp:360-370).
+
+Divergence from a recursive tracer, documented: rays still alive at
+``max_depth`` shade their final hit as DIFFUSE (direct lighting) instead of
+returning black, which avoids hard black speckles on deep specular chains.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.material import MaterialType
+from ..models.scene import DeviceScene
+from ..ops.intersect import intersect_bruteforce, occluded_bruteforce, refine_hit
+from ..ops.rays import RGSS_OFFSETS, generate_rays
+from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, refract_fresnel
+
+# Continuations whose peak throughput falls below this contribute < 1/256 of
+# a pixel value — kill them instead of tracing.
+MIN_THROUGHPUT = 1e-3
+
+
+def _default_intersect(origins, dirs, geo):
+    return intersect_bruteforce(origins, dirs, geo.woop)
+
+
+def _default_occluder(geo):
+    def occluder(origins, dirs, max_t):
+        return occluded_bruteforce(origins, dirs, geo.woop, max_t)
+
+    return occluder
+
+
+def _compact(cand: dict, capacity: int):
+    """Stable-compact candidate rays (size 2Q) into a queue of ``capacity``.
+
+    Returns (queue, n_alive, n_dropped).  Uses a cumsum prefix to compute
+    each survivor's slot and a scatter with mode='drop' for out-of-bounds
+    (overflowing) slots — no dynamic shapes anywhere.
+    """
+    mask = cand["active"]
+    pos = jnp.cumsum(mask) - 1  # slot per candidate
+    n_alive = jnp.sum(mask)
+    idx = jnp.where(mask, pos, 2 * capacity)  # parked OOB => dropped
+
+    def scatter(v):
+        out_shape = (capacity,) + v.shape[1:]
+        return jnp.zeros(out_shape, v.dtype).at[idx].set(v, mode="drop")
+
+    queue = {k: scatter(v) for k, v in cand.items() if k != "active"}
+    queue["active"] = jnp.arange(capacity) < n_alive
+    return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
+
+
+def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: bool,
+                capacity: int | None = None):
+    """One wavefront bounce: intersect, shade terminals into framebuffer,
+    emit compacted specular continuations.  Returns (state', fb', stats)."""
+    geo = dscene.geometry
+    q = capacity or state["origins"].shape[0]
+    active = state["active"]
+
+    hit = intersect_fn(state["origins"], state["dirs"], geo)
+    hit = refine_hit(state["origins"], state["dirs"], geo.v0, geo.e1, geo.e2, hit)
+    hit_mask = active & hit.mask
+    miss_mask = active & ~hit.mask
+
+    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit)
+    mtype = attrs["mtype"]
+    is_diffuse = mtype == MaterialType.DIFFUSE
+    is_constant = mtype == MaterialType.CONSTANT
+    is_reflective = mtype == MaterialType.REFLECTIVE
+    is_refractive = mtype == MaterialType.REFRACTIVE
+    if last:  # depth exhausted: specular shades as diffuse (see module doc)
+        is_diffuse = is_diffuse | is_reflective | is_refractive
+        is_reflective = jnp.zeros_like(is_reflective)
+        is_refractive = jnp.zeros_like(is_refractive)
+
+    thpt = state["throughput"]
+    pixel = state["pixel"]
+
+    # --- terminal contributions --------------------------------------------
+    contrib = jnp.where(miss_mask[:, None], thpt * dscene.background_color[None, :], 0.0)
+
+    diffuse_mask = hit_mask & is_diffuse
+    light = direct_lighting(attrs["point"], attrs["normal"], dscene.lights, occluder_fn)
+    contrib = contrib + jnp.where(
+        diffuse_mask[:, None], thpt * attrs["albedo"] * light, 0.0
+    )
+    contrib = contrib + jnp.where(
+        (hit_mask & is_constant)[:, None], thpt * attrs["albedo"], 0.0
+    )
+    framebuffer = framebuffer.at[pixel].add(contrib, mode="drop")
+
+    if last:
+        return None, framebuffer, {"alive": jnp.int32(0), "dropped": jnp.int32(0)}
+
+    # --- specular continuations --------------------------------------------
+    d = state["dirs"]
+    n = attrs["normal"]
+    refr_dir, refl_dir_o, fres, tir = refract_fresnel(d, n, attrs["ior"])
+    # Offset origins off the surface along the *geometric* normal, on the
+    # side the continuation travels.
+    ng = attrs["n_geom"]
+    side = jnp.sign(jnp.sum(d * ng, axis=-1, keepdims=True))  # +1 exiting face
+
+    # Branch A (first half — survives overflow): reflective mirror bounce OR
+    # refractive transmission.
+    mirror_dir = reflect(d, n)
+    a_refl = hit_mask & is_reflective
+    a_refr = hit_mask & is_refractive & ~tir
+    cand_a = {
+        "origins": attrs["point"]
+        + jnp.where(a_refr[:, None], side * ng * RAY_BIAS, -side * ng * RAY_BIAS),
+        "dirs": jnp.where(a_refr[:, None], refr_dir, mirror_dir),
+        "throughput": jnp.where(
+            a_refr[:, None], thpt * (1.0 - fres)[:, None], thpt * attrs["albedo"]
+        ),
+        "pixel": pixel,
+        "active": a_refl | a_refr,
+    }
+
+    # Branch B (second half — dropped first on overflow): the refractive
+    # surface's Fresnel reflection (weight 1 on total internal reflection).
+    b_mask = hit_mask & is_refractive
+    cand_b = {
+        "origins": attrs["point"] - side * ng * RAY_BIAS,
+        "dirs": refl_dir_o,
+        "throughput": thpt * fres[:, None],
+        "pixel": pixel,
+        "active": b_mask,
+    }
+
+    cand = {k: jnp.concatenate([cand_a[k], cand_b[k]]) for k in cand_a}
+    cand["active"] = cand["active"] & (
+        jnp.max(cand["throughput"], axis=-1) > MIN_THROUGHPUT
+    )
+    new_state, n_alive, n_drop = _compact(cand, q)
+    # Park dead queue slots on rays that cannot hit anything.
+    parked = ~new_state["active"]
+    new_state["origins"] = jnp.where(parked[:, None], 1e30, new_state["origins"])
+    new_state["dirs"] = jnp.where(
+        parked[:, None], jnp.array([0.0, 0.0, 1.0]), new_state["dirs"]
+    )
+    new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
+    return new_state, framebuffer, {"alive": n_alive, "dropped": n_drop}
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_depth", "spp", "intersect_fn", "occluder_factory",
+        "queue_factor",
+    ),
+)
+def render_whitted(
+    dscene: DeviceScene,
+    cam_position,
+    cam_rotation,
+    width: int,
+    height: int,
+    max_depth: int = 5,
+    spp: int = 1,
+    intersect_fn=None,
+    occluder_factory=None,
+    queue_factor: int = 2,
+):
+    """Render one Whitted frame.
+
+    Args:
+      dscene: device scene pytree.
+      cam_position, cam_rotation: camera snapshot ((3,), (3,3)).
+      width, height, max_depth: static.
+      spp: 1 (pixel center, reference raygen) or 4 (rotated-grid AA).
+      intersect_fn: (origins, dirs, geometry) -> Hit override (e.g. BVH).
+      occluder_factory: geometry -> (origins, dirs, max_t) -> bool override.
+      queue_factor: secondary-wavefront capacity as a multiple of H*W; 2
+        keeps both branches of a full-screen refractive surface alive (the
+        worst single-split case).  Deeper splits can still overflow — the
+        transmission branch survives first and overflow is reported in stats.
+
+    Returns:
+      image (H, W, 3) f32 linear, stats dict {alive, dropped per pass}.
+    """
+    geo = dscene.geometry
+    isect = intersect_fn or _default_intersect
+    occluder = (occluder_factory or _default_occluder)(geo)
+
+    n_pix = width * height
+    offsets = [(0.5, 0.5)] if spp == 1 else list(RGSS_OFFSETS)
+
+    framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
+    stats = []
+    for off in offsets:
+        origins, dirs = generate_rays(cam_position, cam_rotation, width, height, off)
+        state = {
+            "origins": origins,
+            "dirs": dirs,
+            "throughput": jnp.full((n_pix, 3), 1.0 / len(offsets), jnp.float32),
+            "pixel": jnp.arange(n_pix, dtype=jnp.int32),
+            "active": jnp.ones((n_pix,), bool),
+        }
+        for depth in range(max_depth):
+            state, framebuffer, s = _shade_pass(
+                dscene, state, framebuffer, isect, occluder,
+                last=(depth == max_depth - 1),
+                capacity=n_pix * queue_factor,
+            )
+            stats.append(s)
+            if state is None:
+                break
+
+    image = framebuffer.reshape(height, width, 3)
+    return image, {
+        "alive": jnp.stack([s["alive"] for s in stats]),
+        "dropped": jnp.stack([s["dropped"] for s in stats]),
+    }

@@ -154,7 +154,7 @@ def bench_scene(n_tris: int = 100_000, width=1920, height=1080, seed: int = 7) -
         image_height=height,
     )
     scene.camera = Camera(position=(0.0, 14.0, 26.0))
-    scene.camera.rotate(0.0, -20.0)
+    scene.camera.rotate(0.0, 20.0)  # view = -forward: +pitch tilts the view down
 
     # ground plane
     scene.meshes.append(
