@@ -32,24 +32,31 @@ T_MAX = 10000.0
 RGSS_OFFSETS = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))
 
 
-def generate_rays(position, rotation, width: int, height: int, offset=(0.5, 0.5)):
-    """Primary rays for every pixel.
+def generate_rays(position, rotation, width: int, height: int, offset=(0.5, 0.5),
+                  row_start=0, rows: int | None = None):
+    """Primary rays for every pixel of a (full-width) row tile.
 
     Args:
       position: (3,) f32 camera position.
       rotation: (3, 3) f32 camera rotation (columns = right/up/forward).
-      width, height: static image size.
+      width, height: static FULL image size (the projection frustum).
       offset: subpixel sample offset; (0.5, 0.5) = pixel center (reference).
+        May be a traced (2,) array (sample-sharded rendering).
+      row_start: first pixel row of the tile (traced OK — multi-chip tiles).
+      rows: tile height (static); None = full image.
 
     Returns:
-      origins (H*W, 3), directions (H*W, 3) — row-major pixel order
-      (pixel (px, py) at index py*width + px, like the UAV layout).
+      origins (rows*W, 3), directions (rows*W, 3) — row-major pixel order
+      (pixel (px, py) at tile index (py-row_start)*width + px, matching the
+      reference's UAV layout when the tile is the whole image).
     """
     position = jnp.asarray(position, jnp.float32)
     rotation = jnp.asarray(rotation, jnp.float32)
+    offset = jnp.asarray(offset, jnp.float32)
+    rows = height if rows is None else rows
 
     px = jnp.arange(width, dtype=jnp.float32)[None, :]  # (1, W)
-    py = jnp.arange(height, dtype=jnp.float32)[:, None]  # (H, 1)
+    py = (jnp.arange(rows, dtype=jnp.float32) + row_start)[:, None]  # (rows, 1)
 
     x = (px + offset[0]) / width
     y = (py + offset[1]) / height
@@ -57,8 +64,8 @@ def generate_rays(position, rotation, width: int, height: int, offset=(0.5, 0.5)
     y = 1.0 - 2.0 * y
     x = x * (width / height)
 
-    x = jnp.broadcast_to(x, (height, width))
-    y = jnp.broadcast_to(y, (height, width))
+    x = jnp.broadcast_to(x, (rows, width))
+    y = jnp.broadcast_to(y, (rows, width))
     dir_cam = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)  # (H, W, 3)
     dir_cam = normalize(dir_cam)
     # HIGHEST precision: TPU matmuls otherwise run at bf16 and bend rays.
@@ -66,5 +73,5 @@ def generate_rays(position, rotation, width: int, height: int, offset=(0.5, 0.5)
         jnp.einsum("ij,hwj->hwi", rotation, dir_cam, precision=jax.lax.Precision.HIGHEST)
     )
 
-    origins = jnp.broadcast_to(position, (height, width, 3))
+    origins = jnp.broadcast_to(position, (rows, width, 3))
     return origins.reshape(-1, 3), dir_world.reshape(-1, 3)

@@ -1,0 +1,104 @@
+"""Multi-chip rendering: ray/tile + sample sharding over a jax.sharding.Mesh.
+
+The reference is single-GPU — its only "parallelism" is the hardware's
+per-pixel thread fan-out (``DispatchRays`` 1920x1080, DXRTRenderer.cpp:1348).
+Rays are mutually independent, so the TPU-native scaling story (SURVEY.md
+§2e) is pure data parallelism with two meaningful axes:
+
+* ``tiles`` — the pixel-row axis: each chip renders a horizontal stripe of
+  the frame.  Scene buffers are replicated (a 100k-tri scene is ~20 MB —
+  trivially replicable), framebuffer tiles stay chip-local, and shard_map's
+  output spec reassembles the frame with no collective at all.
+* ``samples`` — the subpixel/AA axis: chips render the *same* tile with
+  different sample offsets and ``psum`` their framebuffers over ICI — the
+  progressive-accumulation pattern (and the only cross-chip reduction a ray
+  tracer needs).
+
+Both axes compose in one 2-D mesh: chips at (t, s) render stripe t with
+sample subset s; one psum over 'samples' finishes the frame.  No TP/PP-style
+decomposition applies — there is no sequential dependency to pipeline and no
+giant weight matrix to shard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.scene import DeviceScene
+from ..render.whitted import render_tile, spp_offsets
+
+
+def make_mesh(n_tiles: int | None = None, n_samples: int = 1, devices=None) -> Mesh:
+    """Build a (tiles, samples) device mesh; defaults to all-local devices on
+    the tile axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_tiles is None:
+        n_tiles = devices.size // n_samples
+    return Mesh(devices.reshape(n_tiles, n_samples), axis_names=("tiles", "samples"))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_depth", "spp", "mesh", "intersect_fn",
+                     "occluder_factory", "queue_factor"),
+)
+def render_whitted_multichip(
+    dscene: DeviceScene,
+    cam_position,
+    cam_rotation,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    max_depth: int = 5,
+    spp: int = 1,
+    intersect_fn=None,
+    occluder_factory=None,
+    queue_factor: int = 2,
+):
+    """Whitted frame sharded over a (tiles, samples) mesh.
+
+    Requirements: height % n_tiles == 0 and spp % n_samples == 0 (sample
+    offsets are split evenly across the 'samples' axis).
+
+    Returns ((H, W, 3) image, stats) with the image laid out across chips by
+    row stripe (replicated over 'samples' after the psum).
+    """
+    n_tiles = mesh.shape["tiles"]
+    n_samples = mesh.shape["samples"]
+    if height % n_tiles:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
+    offs = np.asarray(spp_offsets(spp), np.float32)
+    if len(offs) % n_samples:
+        raise ValueError(f"spp {len(offs)} not divisible by sample axis {n_samples}")
+    rows = height // n_tiles
+    weight = 1.0 / len(offs)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("samples")),
+        out_specs=(P("tiles"), P()),
+        check_vma=False,
+    )
+    def shard_fn(scene, pos, rot, offsets):
+        t = jax.lax.axis_index("tiles")
+        img, stats = render_tile(
+            scene, pos, rot, width, height,
+            offsets=offsets, weight=weight,
+            row_start=t * rows, rows=rows, max_depth=max_depth,
+            intersect_fn=intersect_fn, occluder_factory=occluder_factory,
+            queue_factor=queue_factor,
+        )
+        # Sample-axis accumulation rides ICI; stats aggregate over everything.
+        img = jax.lax.psum(img, "samples")
+        stats = jax.tree.map(lambda x: jax.lax.psum(x, ("tiles", "samples")), stats)
+        return img, stats
+
+    # Each sample shard gets its contiguous slice of the offset table.
+    return shard_fn(dscene, jnp.asarray(cam_position, jnp.float32),
+                    jnp.asarray(cam_rotation, jnp.float32), jnp.asarray(offs))

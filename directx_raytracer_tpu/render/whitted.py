@@ -177,6 +177,81 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     return new_state, framebuffer, {"alive": n_alive, "dropped": n_drop}
 
 
+def render_tile(
+    dscene: DeviceScene,
+    cam_position,
+    cam_rotation,
+    width: int,
+    height: int,
+    offsets,
+    weight: float,
+    row_start=0,
+    rows: int | None = None,
+    max_depth: int = 5,
+    intersect_fn=None,
+    occluder_factory=None,
+    queue_factor: int = 2,
+):
+    """Core tile renderer (trace-level; callers jit / shard_map it).
+
+    Renders the full-width row tile [row_start, row_start+rows) of an
+    (height x width) frustum, accumulating one wavefront per subpixel offset.
+
+    Args:
+      offsets: (K, 2) f32 subpixel offsets — may be traced (sample sharding).
+      weight: per-sample framebuffer weight, normally 1 / total_spp (total
+        across all shards, not just this tile's K).
+      row_start: traced or static first row of the tile.
+
+    Returns (rows, W, 3) image + stats {alive, dropped} per pass.
+    """
+    geo = dscene.geometry
+    isect = intersect_fn or _default_intersect
+    occluder = (occluder_factory or _default_occluder)(geo)
+    rows = height if rows is None else rows
+    offsets = jnp.asarray(offsets, jnp.float32)
+
+    n_pix = width * rows
+    framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
+    stats = []
+    for k in range(offsets.shape[0]):
+        origins, dirs = generate_rays(
+            cam_position, cam_rotation, width, height, offsets[k], row_start, rows
+        )
+        state = {
+            "origins": origins,
+            "dirs": dirs,
+            "throughput": jnp.full((n_pix, 3), weight, jnp.float32),
+            "pixel": jnp.arange(n_pix, dtype=jnp.int32),
+            "active": jnp.ones((n_pix,), bool),
+        }
+        for depth in range(max_depth):
+            state, framebuffer, s = _shade_pass(
+                dscene, state, framebuffer, isect, occluder,
+                last=(depth == max_depth - 1),
+                capacity=n_pix * queue_factor,
+            )
+            stats.append(s)
+            if state is None:
+                break
+
+    image = framebuffer.reshape(rows, width, 3)
+    return image, {
+        "alive": jnp.stack([s["alive"] for s in stats]),
+        "dropped": jnp.stack([s["dropped"] for s in stats]),
+    }
+
+
+def spp_offsets(spp: int):
+    """Subpixel offsets for an spp count: 1 = reference pixel center, 4 =
+    rotated-grid AA."""
+    if spp == 1:
+        return ((0.5, 0.5),)
+    if spp == 4:
+        return RGSS_OFFSETS
+    raise ValueError(f"spp must be 1 or 4, got {spp}")
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -196,7 +271,7 @@ def render_whitted(
     occluder_factory=None,
     queue_factor: int = 2,
 ):
-    """Render one Whitted frame.
+    """Render one Whitted frame (single chip).
 
     Args:
       dscene: device scene pytree.
@@ -213,36 +288,11 @@ def render_whitted(
     Returns:
       image (H, W, 3) f32 linear, stats dict {alive, dropped per pass}.
     """
-    geo = dscene.geometry
-    isect = intersect_fn or _default_intersect
-    occluder = (occluder_factory or _default_occluder)(geo)
-
-    n_pix = width * height
-    offsets = [(0.5, 0.5)] if spp == 1 else list(RGSS_OFFSETS)
-
-    framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
-    stats = []
-    for off in offsets:
-        origins, dirs = generate_rays(cam_position, cam_rotation, width, height, off)
-        state = {
-            "origins": origins,
-            "dirs": dirs,
-            "throughput": jnp.full((n_pix, 3), 1.0 / len(offsets), jnp.float32),
-            "pixel": jnp.arange(n_pix, dtype=jnp.int32),
-            "active": jnp.ones((n_pix,), bool),
-        }
-        for depth in range(max_depth):
-            state, framebuffer, s = _shade_pass(
-                dscene, state, framebuffer, isect, occluder,
-                last=(depth == max_depth - 1),
-                capacity=n_pix * queue_factor,
-            )
-            stats.append(s)
-            if state is None:
-                break
-
-    image = framebuffer.reshape(height, width, 3)
-    return image, {
-        "alive": jnp.stack([s["alive"] for s in stats]),
-        "dropped": jnp.stack([s["dropped"] for s in stats]),
-    }
+    offs = spp_offsets(spp)
+    return render_tile(
+        dscene, cam_position, cam_rotation, width, height,
+        offsets=jnp.asarray(offs, jnp.float32), weight=1.0 / len(offs),
+        row_start=0, rows=height, max_depth=max_depth,
+        intersect_fn=intersect_fn, occluder_factory=occluder_factory,
+        queue_factor=queue_factor,
+    )
