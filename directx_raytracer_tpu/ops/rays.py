@@ -27,6 +27,35 @@ T_MIN = 0.001
 T_MAX = 10000.0
 
 
+def tile_perm(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
+    """Permutation regrouping row-major pixels into (tile_h x tile_w) tiles.
+
+    Coherent square-ish ray tiles overlap ~10-30x fewer BVH clusters than
+    row strips of the same size (measured on the 100k-tri bench scene), which
+    directly scales the binned intersector's work.  Returns an (rows*width,)
+    i32 permutation p such that rays[p] is tile-major, or None if no
+    reasonable tile size divides the image (callers then keep row order).
+    """
+    import numpy as np
+
+    def pick(total, want):
+        for c in (want, 32, 24, 16, 12, 8, 6, 4, 3, 2):
+            if c <= want and total % c == 0:
+                return c
+        return 1
+
+    th = pick(rows, tile_h)
+    tw = pick(width, tile_w)
+    if th * tw < 16:  # degenerate tiling buys nothing
+        return None
+    idx = np.arange(rows * width, dtype=np.int32).reshape(rows, width)
+    return (
+        idx.reshape(rows // th, th, width // tw, tw)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+
+
 # 4x rotated-grid supersampling offsets (BASELINE config 4); spp=1 uses the
 # reference's pixel-center +0.5 (hlsl:35-36).
 RGSS_OFFSETS = ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875))

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..models.scene import DeviceScene
 from ..ops.debug_shading import MISS_COLOR, shade_debug
 from ..ops.intersect import intersect_bruteforce, refine_hit
-from ..ops.rays import generate_rays
+from ..ops.rays import generate_rays, tile_perm
 
 
 @partial(jax.jit, static_argnames=("width", "height", "intersect_fn"))
@@ -46,6 +46,10 @@ def render_debug(
     """
     geo = dscene.geometry
     origins, dirs = generate_rays(cam_position, cam_rotation, width, height)
+    perm = tile_perm(height, width)
+    if perm is not None:  # coherent tiles for the binned intersector
+        origins = origins[perm]
+        dirs = dirs[perm]
     if intersect_fn is None:
         hit = intersect_bruteforce(origins, dirs, geo.woop)
     else:
@@ -58,4 +62,6 @@ def render_debug(
     color = shade_debug(mode, origins, dirs, hit.t, hit.u, hit.v, local_id, mesh_id)
     miss = jnp.array(MISS_COLOR, jnp.float32)
     color = jnp.where(hit.mask[:, None], color, miss)
+    if perm is not None:
+        color = jnp.zeros_like(color).at[perm].set(color)
     return color.reshape(height, width, 3)

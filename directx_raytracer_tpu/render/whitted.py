@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from ..models.material import MaterialType
 from ..models.scene import DeviceScene
 from ..ops.intersect import intersect_bruteforce, occluded_bruteforce, refine_hit
-from ..ops.rays import RGSS_OFFSETS, generate_rays
+from ..ops.rays import RGSS_OFFSETS, generate_rays, tile_perm
 from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, refract_fresnel
 
 # Continuations whose peak throughput falls below this contribute < 1/256 of
@@ -212,17 +212,28 @@ def render_tile(
     offsets = jnp.asarray(offsets, jnp.float32)
 
     n_pix = width * rows
+    # Tile-swizzle the primary wavefront: coherent ray tiles make the binned
+    # BVH intersector ~10-30x cheaper, and the framebuffer scatter by pixel
+    # id makes ray order a free choice.
+    perm = tile_perm(rows, width)
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    if perm is not None:
+        pixel_ids = pixel_ids[perm]
+
     framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
     stats = []
     for k in range(offsets.shape[0]):
         origins, dirs = generate_rays(
             cam_position, cam_rotation, width, height, offsets[k], row_start, rows
         )
+        if perm is not None:
+            origins = origins[perm]
+            dirs = dirs[perm]
         state = {
             "origins": origins,
             "dirs": dirs,
             "throughput": jnp.full((n_pix, 3), weight, jnp.float32),
-            "pixel": jnp.arange(n_pix, dtype=jnp.int32),
+            "pixel": pixel_ids,
             "active": jnp.ones((n_pix,), bool),
         }
         for depth in range(max_depth):
