@@ -47,17 +47,30 @@ def main():
         bvh = builder(dscene.geometry)
         intersect_fn = fn_factory(bvh)
 
-    def frame():
-        img = render_debug(dscene, pos, rot, mode, WIDTH, HEIGHT,
-                           intersect_fn=intersect_fn)
-        img.block_until_ready()
-        return img
+    import jax.numpy as jnp
+    import numpy as _np
 
-    frame()  # compile + warm
-    n_frames = 3
+    n_frames = 5
+
+    @jax.jit
+    def run(pos_in):
+        # Frame loop INSIDE one jit: a remote-device tunnel adds 100s of ms
+        # of per-dispatch latency, so per-call host timing measures the
+        # tunnel, not the chip.  Each frame perturbs the camera with a
+        # data-dependent epsilon so no frame can be elided or overlapped.
+        def body(i, carry):
+            p, acc = carry
+            img = render_debug(dscene, p, rot, mode, WIDTH, HEIGHT,
+                               intersect_fn=intersect_fn)
+            v = img[0, 0, 0]
+            eps = jnp.where(jnp.isfinite(v), v, 0.0) * 0.0
+            return p + eps, acc + v
+        _, acc = jax.lax.fori_loop(0, n_frames, body, (pos_in, jnp.float32(0)))
+        return acc
+
+    float(run(jnp.asarray(pos, jnp.float32)))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        frame()
+    float(run(jnp.asarray(pos, jnp.float32)))
     dt = (time.perf_counter() - t0) / n_frames
 
     n_rays = WIDTH * HEIGHT

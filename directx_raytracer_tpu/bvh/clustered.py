@@ -52,13 +52,14 @@ class ClusterSet:
     e2: jax.Array
     n_tris: int
     k: int
+    identity_order: bool  # geometry already Morton-sorted: slot == tri id
 
 
-_register(ClusterSet, meta=("n_tris", "k"))
+_register(ClusterSet, meta=("n_tris", "k", "identity_order"))
 
 
-@partial(jax.jit, static_argnames=("n_tris", "k"))
-def _build(v0, e1, e2, woop, n_tris: int, k: int):
+@partial(jax.jit, static_argnames=("n_tris", "k", "presorted"))
+def _build(v0, e1, e2, woop, n_tris: int, k: int, presorted: bool):
     t = n_tris
     p0, p1, p2 = v0, v0 + e1, v0 + e2
     tri_min = jnp.minimum(jnp.minimum(p0, p1), p2)
@@ -67,8 +68,11 @@ def _build(v0, e1, e2, woop, n_tris: int, k: int):
     lo = jnp.min(tri_min, axis=0)
     hi = jnp.max(tri_max, axis=0)
 
-    codes = morton_codes(centroid, lo, hi)
-    _, order = jax.lax.sort_key_val(codes, jnp.arange(t, dtype=jnp.int32))
+    if presorted:
+        order = jnp.arange(t, dtype=jnp.int32)
+    else:
+        codes = morton_codes(centroid, lo, hi)
+        _, order = jax.lax.sort_key_val(codes, jnp.arange(t, dtype=jnp.int32))
 
     c = -(-t // k)
     pad = c * k - t
@@ -92,16 +96,18 @@ def _build(v0, e1, e2, woop, n_tris: int, k: int):
         e2=padded(e2[order], 0.0),
         n_tris=t,
         k=k,
+        identity_order=presorted,
     )
 
 
-def build_clusters(geometry: Geometry, k: int = 256) -> ClusterSet:
+def build_clusters(geometry: Geometry, k: int = 128) -> ClusterSet:
     t = geometry.n_tris
     if t == 0:
         raise ValueError("cannot build clusters over an empty scene")
+    presorted = bool(getattr(geometry, "morton_sorted", False))
     return _build(
         geometry.v0[:t], geometry.e1[:t], geometry.e2[:t], geometry.woop[:t],
-        n_tris=t, k=k,
+        n_tris=t, k=k, presorted=presorted,
     )
 
 
@@ -231,7 +237,10 @@ def intersect_clustered(origins, dirs, cs: ClusterSet, t_max=None, t_min=T_MIN,
     )
     flat = lambda x: x.reshape(-1)[:n]
     k = flat(best_tri)
-    tri = jnp.where(k >= 0, cs.order[jnp.maximum(k, 0)], -1)
+    if cs.identity_order:
+        tri = k  # slot == triangle id; avoids a narrow (N,) remap gather
+    else:
+        tri = jnp.where(k >= 0, cs.order[jnp.maximum(k, 0)], -1)
     return Hit(t=flat(best_t), tri=tri, u=flat(best_u), v=flat(best_v))
 
 

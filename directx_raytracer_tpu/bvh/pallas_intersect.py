@@ -1,0 +1,376 @@
+"""Pallas fused cluster-intersection kernel — the production ``TraceRay``.
+
+The XLA clustered path (clustered.py) is bandwidth-bound: every cluster
+visit materializes (B, 3K) Woop-matmul intermediates in HBM, and its
+``lax.map`` over ray blocks serializes tile dispatch.  This kernel keeps
+each visit entirely in VMEM and runs one grid step per *actual* work item:
+
+* **binning (XLA, conservative frustum):** each 768-ray tile is reduced to
+  an origin/direction interval box; interval-arithmetic slab tests against
+  all cluster AABBs yield per-tile overlapping cluster ids (near-to-far)
+  and counts.
+* **visit list (XLA):** the ragged (tile, cluster) pairs are compacted into
+  flat arrays ``visit_tile / visit_cluster / visit_first`` of static budget
+  V (exclusive-cumsum offsets + scatter).  Padding visits point at a dummy
+  tile slot, so they burn one grid step and nothing else.  If a frame
+  needs more than V visits the helper loops whole extra kernel launches
+  (``jax.lax.while_loop``) over V-sized chunks, seeding each launch with
+  the previous best — never silently dropping clusters.
+* **kernel (one grid step per visit):** rays enter as a (768, 8) block
+  ``[o | 1 | d | 0]`` selected by ``visit_tile``; the cluster's planar Woop
+  operand W (8, 6K) is selected by ``visit_cluster`` — both via
+  scalar-prefetched index maps, so Pallas pipelines the HBM->VMEM copies
+  (dynamic *manual* DMA hangs this TPU stack; index-map DMA is the
+  supported path).  One MXU matmul ``rays8 @ W -> (768, 6K)`` produces
+  planar [op_x op_y op_z dp_x dp_y dp_z]; a short VPU tail computes
+  t = -op_z/dp_z, barycentrics, validity, and folds the running
+  (best_t, best_slot) held in the output VMEM block, which consecutive
+  visits of the same tile revisit without leaving the chip.
+
+Slot -> original triangle id via the Morton ``order``; exact (t, u, v) are
+re-evaluated outside by one batched Möller-Trumbore on the winners.
+Occlusion reuses the same kernel with best_t initialized to the shadow
+distance.
+
+Reference parity: this replaces the driver-built BLAS/TLAS + hardware
+traversal the reference leans on (DXRTRenderer.cpp:548-806,
+HLSL/ray_tracing_shaders.hlsl:57-66).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.intersect import Hit
+from ..ops.rays import T_MAX, T_MIN
+from .clustered import ClusterSet
+
+INF = float("inf")
+BIG = 1e30
+TILE_R = 768  # rays per tile (24x32 pixels — matches ops.rays.tile_perm)
+VISIT_BUDGET = 32768  # (tile, cluster) pairs per kernel launch
+
+
+# ---------------------------------------------------------------------------
+# Planar Woop operand
+# ---------------------------------------------------------------------------
+
+
+def planar_mats(cs: ClusterSet) -> jax.Array:
+    """(C, 8, 6K) combined matmul operand.
+
+    ``[o,1,d,0] @ W[c]`` produces planar columns
+    [op_x | op_y | op_z | dp_x | dp_y | dp_z], each K wide.
+    """
+    c, k = cs.woop.shape[0], cs.k
+    woop = cs.woop  # (C, K, 3, 4)
+    w = jnp.zeros((c, 8, 6 * k), jnp.float32)
+    for axis in range(3):
+        w = w.at[:, 0:4, axis * k : (axis + 1) * k].set(
+            jnp.swapaxes(woop[:, :, axis, :], 1, 2)
+        )
+        w = w.at[:, 4:7, (3 + axis) * k : (4 + axis) * k].set(
+            jnp.swapaxes(woop[:, :, axis, :3], 1, 2)
+        )
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Conservative frustum binning (XLA side)
+# ---------------------------------------------------------------------------
+
+
+def _interval_inv(d_lo, d_hi):
+    """Interval reciprocal; spans of zero go conservatively infinite."""
+    same_sign = (d_lo > 0) | (d_hi < 0)
+    i_lo = jnp.where(same_sign, 1.0 / d_hi, -BIG)
+    i_hi = jnp.where(same_sign, 1.0 / d_lo, BIG)
+    return i_lo, i_hi
+
+
+def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN):
+    """Per-tile cluster lists via interval-arithmetic frustum culling.
+
+    Args:
+      origins, dirs: (T, R, 3) tiled rays.
+    Returns (ids (T, C) i32 near-to-far then misses, entry (T, C) f32 sorted
+    conservative entry distances, counts (T,) i32).
+    """
+    o_lo = origins.min(axis=1)  # (T, 3)
+    o_hi = origins.max(axis=1)
+    d_lo = dirs.min(axis=1)
+    d_hi = dirs.max(axis=1)
+
+    entry = jnp.full((origins.shape[0], cs.aabb_min.shape[0]), -BIG)
+    exit_ = jnp.full_like(entry, BIG)
+    for ax in range(3):
+        n_lo = cs.aabb_min[None, :, ax] - o_hi[:, None, ax]  # (T, C)
+        n_hi = cs.aabb_max[None, :, ax] - o_lo[:, None, ax]
+        i_lo, i_hi = _interval_inv(d_lo[:, None, ax], d_hi[:, None, ax])
+        prods = jnp.stack(
+            [n_lo * i_lo, n_lo * i_hi, n_hi * i_lo, n_hi * i_hi], axis=0
+        )
+        prods = jnp.clip(prods, -BIG, BIG)
+        entry = jnp.maximum(entry, prods.min(axis=0))
+        exit_ = jnp.minimum(exit_, prods.max(axis=0))
+
+    overlap = (entry <= exit_) & (exit_ >= t_min)
+    key = jnp.where(overlap, jnp.maximum(entry, t_min), INF)
+    key_sorted, ids = jax.lax.sort_key_val(
+        key, jnp.broadcast_to(jnp.arange(key.shape[1], dtype=jnp.int32), key.shape),
+        dimension=1,
+    )
+    counts = overlap.sum(axis=1).astype(jnp.int32)
+    return ids, key_sorted, counts
+
+
+
+
+def build_visits(ids, entry, counts, budget: int):
+    """Flatten ragged per-tile cluster lists into fixed-size visit arrays.
+
+    Visits are tile-major (consecutive visits share a tile, letting the
+    kernel accumulate in the revisited output block), preserving the order
+    of ``ids`` within a tile (near-to-far when bin_clusters sorts).  Padding
+    visits point at the dummy tile slot T and are predicated off in the
+    kernel.
+
+    Formulated as GATHERS (searchsorted over the tile offsets), never as a
+    scatter from the (T, C) grid — TPU scatters of millions of elements
+    serialize and dominated the frame before this.
+
+    Returns (visit_tile, visit_cluster, visit_first, visit_entry, remaining)
+    where remaining counts the (tile, cluster) pairs beyond this chunk.
+    """
+    t, c = ids.shape
+    ends = jnp.cumsum(counts)
+    offs = ends - counts
+    total = ends[-1]
+    remaining = jnp.maximum(total - budget, 0)
+
+    v = jnp.arange(budget, dtype=jnp.int32)
+    in_range = v < total
+    # Which tile owns visit slot v: first tile whose end exceeds v.
+    tile = jnp.searchsorted(ends, v, side="right").astype(jnp.int32)
+    tile_c = jnp.minimum(tile, t - 1)
+    j = v - offs[tile_c]
+    cluster = ids[tile_c, jnp.clip(j, 0, c - 1)]
+
+    visit_tile = jnp.where(in_range, tile_c, t)
+    visit_cluster = jnp.where(in_range, cluster, 0)
+    visit_first = (in_range & (j == 0)).astype(jnp.int32)
+    visit_entry = jnp.where(in_range, entry[tile_c, jnp.clip(j, 0, c - 1)], 0.0)
+    return visit_tile, visit_cluster, visit_first, visit_entry, remaining
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float):
+    def kernel(vt_ref, vc_ref, vf_ref, ve_ref, rays_ref, init_t_ref, w_ref,
+               out_t_ref, out_slot_ref):
+        v = pl.program_id(0)
+        c = vc_ref[v]
+        is_real = vt_ref[v] < n_real_tiles
+
+        @pl.when((vf_ref[v] == 1) & is_real)
+        def _():
+            out_t_ref[0, 0, :] = init_t_ref[0, 0, :]
+            out_slot_ref[0, 0, :] = jnp.full((tile_r,), -1, jnp.int32)
+
+        # Early-out: the visit list is near-to-far per tile, so once this
+        # cluster's conservative entry exceeds every ray's current best the
+        # remaining visits of this tile cannot improve anything.
+        @pl.when(is_real & (ve_ref[v] <= jnp.max(out_t_ref[0, 0, :])))
+        def _():
+            best_t = out_t_ref[0, 0, :]
+            best_slot = out_slot_ref[0, 0, :]
+            mm = jnp.dot(rays_ref[0], w_ref[0], preferred_element_type=jnp.float32)
+            opz = mm[:, 2 * k : 3 * k]
+            dpz = mm[:, 5 * k : 6 * k]
+            tt = -opz / dpz
+            u = mm[:, 0 * k : 1 * k] + tt * mm[:, 3 * k : 4 * k]
+            vv = mm[:, 1 * k : 2 * k] + tt * mm[:, 4 * k : 5 * k]
+            valid = (
+                (tt > t_min) & (tt < best_t[:, None])
+                & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
+            )
+            tt = jnp.where(valid, tt, INF)
+            m = jnp.min(tt, axis=1)
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_r, k), 1)
+            win = jnp.min(jnp.where(tt <= m[:, None], col, k), axis=1)
+            closer = m < best_t
+            out_t_ref[0, 0, :] = jnp.where(closer, m, best_t)
+            out_slot_ref[0, 0, :] = jnp.where(closer, c * k + win, best_slot)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "tile_r", "budget"))
+def _launch(rays8, init_t, init_slot, vt, vc, vf, ve, w, k: int, tile_r: int,
+            budget: int):
+    """One kernel launch over a visit chunk.
+
+    rays8: (T+1, R, 8) incl. dummy tile; init_t/init_slot: (T+1, 1, R).
+    Returns updated (best_t, best_slot) of the same shape.
+    """
+    n_slots = rays8.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # visit tile / cluster / first / entry
+        grid=(budget,),
+        in_specs=[
+            pl.BlockSpec((1, tile_r, 8), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 6 * k), lambda v, vt, vc, vf, ve: (vc[v], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_r), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_t, out_slot = pl.pallas_call(
+        _make_kernel(k, tile_r, n_slots - 1, T_MIN),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.float32),
+            jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+    )(vt, vc, vf, ve, rays8, init_t, w)
+    # Tiles with zero visits never ran: keep their seeds.
+    touched_t = jnp.zeros((n_slots,), bool).at[vt].set(True, mode="drop")
+    out_t = jnp.where(touched_t[:, None, None], out_t, init_t)
+    out_slot = jnp.where(touched_t[:, None, None], out_slot, init_slot)
+    return out_t, out_slot
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _mt_refine(o, d, slot, cs: ClusterSet):
+    """Exact Möller-Trumbore (t, u, v) of each ray's winning sorted slot."""
+    s = jnp.maximum(slot, 0)
+    a = cs.v0[s]
+    e1 = cs.e1[s]
+    e2 = cs.e2[s]
+    p = jnp.cross(d, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
+    sv = o - a
+    u = jnp.sum(sv * p, axis=-1) * inv_det
+    q = jnp.cross(sv, e1)
+    v = jnp.sum(d * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    return t, u, v
+
+
+@partial(jax.jit, static_argnames=("tile_r", "budget"))
+def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
+            budget: int):
+    """(best_t, best_slot) over all rays (padded to whole tiles inside)."""
+    n = origins.shape[0]
+    pad = (-n) % tile_r
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), jnp.float32)])
+        dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
+        t_init = jnp.concatenate([t_init, jnp.zeros((pad,), jnp.float32)])
+    m = origins.shape[0]
+    tiles = m // tile_r
+
+    ids, entry, counts = bin_clusters(
+        origins.reshape(tiles, tile_r, 3), dirs.reshape(tiles, tile_r, 3), cs
+    )
+
+    rays8 = jnp.concatenate(
+        [origins, jnp.ones((m, 1), jnp.float32), dirs,
+         jnp.zeros((m, 1), jnp.float32)], axis=1,
+    ).reshape(tiles, tile_r, 8)
+    rays8 = jnp.concatenate(  # dummy tile slot for padding visits
+        [rays8, jnp.zeros((1, tile_r, 8), jnp.float32)], axis=0
+    )
+    best_t = jnp.concatenate(
+        [t_init.reshape(tiles, 1, tile_r), jnp.zeros((1, 1, tile_r), jnp.float32)]
+    )
+    best_slot = jnp.full((tiles + 1, 1, tile_r), -1, jnp.int32)
+
+    vt, vc, vf, ve, remaining = build_visits(ids, entry, counts, budget)
+    best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vc, vf, ve,
+                                wplanar, cs.k, tile_r, budget)
+
+    # Rare overflow: loop whole extra launches until every pair is visited.
+    # The chunk scheduler fills tiles in visit order, so after a launch each
+    # tile is fully done, untouched, or (one boundary tile) partial.  Each
+    # extra launch zeroes fully-done tiles and re-runs the rest from their
+    # running best: ``visit_first`` re-seeds from the carried best (exactly
+    # right) and redone visits fold idempotently into the running min.
+    def cond(state):
+        return state[0] > 0
+
+    def body(state):
+        remaining, bt, bs = state
+        done = jnp.cumsum(counts) <= (jnp.sum(counts) - remaining)
+        eff_counts = jnp.where(done, 0, counts)
+        vt2, vc2, vf2, ve2, _ = build_visits(ids, entry, eff_counts, budget)
+        bt2, bs2 = _launch(rays8, bt, bs, vt2, vc2, vf2, ve2, wplanar, cs.k,
+                           tile_r, budget)
+        rem2 = jnp.maximum(jnp.sum(eff_counts) - budget, 0)
+        return rem2, bt2, bs2
+
+    remaining, best_t, best_slot = jax.lax.while_loop(
+        cond, body, (remaining, best_t, best_slot)
+    )
+
+    best_t = best_t[:tiles].reshape(-1)[:n]
+    best_slot = best_slot[:tiles].reshape(-1)[:n]
+    return best_t, best_slot
+
+
+@partial(jax.jit, static_argnames=("tile_r", "budget", "refine"))
+def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
+                     tile_r: int = TILE_R, budget: int = VISIT_BUDGET,
+                     refine: bool = False) -> Hit:
+    """Closest hit via the fused kernel.
+
+    By default returns a COARSE hit: ``t`` carries the kernel's packed value
+    (11 low mantissa bits truncated, ~1e-4 relative) and u = v = 0 — the
+    render paths re-evaluate exact (t, u, v) plus per-triangle ids with ONE
+    wide packed-record gather (ops.intersect.hit_record), so refining here
+    would duplicate three narrow ~35 ms gathers.  Pass ``refine=True`` for a
+    standalone exact Hit.
+    """
+    n = origins.shape[0]
+    if t_max is None:
+        t_max = jnp.full((n,), T_MAX, jnp.float32)
+    best_t, best_slot = _search(origins, dirs, t_max, cs, wplanar, tile_r, budget)
+    hit = best_slot >= 0
+    if cs.identity_order:
+        tri = best_slot  # geometry is Morton-sorted: slot == triangle id
+    else:
+        tri = jnp.where(hit, cs.order[jnp.maximum(best_slot, 0)], -1)
+    zero = jnp.zeros_like(best_t)
+    if refine:
+        rt, ru, rv = _mt_refine(origins, dirs, best_slot, cs)
+        return Hit(t=jnp.where(hit, rt, INF), tri=tri,
+                   u=jnp.where(hit, ru, 0.0), v=jnp.where(hit, rv, 0.0))
+    return Hit(t=jnp.where(hit, best_t, INF), tri=tri, u=zero, v=zero)
+
+
+@partial(jax.jit, static_argnames=("tile_r", "budget"))
+def occluded_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max,
+                    tile_r: int = TILE_R, budget: int = VISIT_BUDGET):
+    """Any-hit: True where a triangle lies in (t_min, t_max[i])."""
+    _, best_slot = _search(origins, dirs, t_max, cs, wplanar, tile_r, budget)
+    return (best_slot >= 0)[:origins.shape[0]]

@@ -101,10 +101,46 @@ class Geometry:
     mat_id: jax.Array  # (T,) i32 — material index; -1 for padding
     mesh_id: jax.Array  # (T,) i32 — InstanceID analog (mesh index)
     local_id: jax.Array  # (T,) i32 — PrimitiveIndex analog (tri index in mesh)
+    # Wide packed per-triangle records: TPU gathers cost per ROW, not per
+    # byte (a (2M,3) gather runs at <1 GB/s), so everything the shading path
+    # needs per hit is packed into two wide rows fetched by ONE gather each.
+    packed_a: jax.Array  # (T, 16) f32 — v0(3) e1(3) e2(3) local mesh mat pad(4); ids bitcast i32
+    packed_b: jax.Array  # (T, 24) f32 — n0(3) n1(3) n2(3) fn(3) uv0.xy uv1.xy uv2.xy pad(6)
     n_tris: int  # true (unpadded) triangle count
+    morton_sorted: bool  # triangles stored in Morton order (BVH slot == id)
 
 
-_register(Geometry, meta=("n_tris",))
+_register(Geometry, meta=("n_tris", "morton_sorted"))
+
+
+def _np_spread_bits_10(x):
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _np_morton_order(v0, e1, e2):
+    """Z-curve order of triangle centroids (numpy, scene-build time).
+
+    Sorting the scene's triangle storage itself means the BVH's Morton sort
+    is the identity, so intersection results index geometry directly — no
+    (2M,) order-remap gather per frame."""
+    p0, p1, p2 = v0, v0 + e1, v0 + e2
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    c = (lo + hi) * 0.5
+    smin = lo.min(axis=0)
+    ext = np.maximum(hi.max(axis=0) - smin, 1e-12)
+    q = np.clip((c - smin) / ext * 1024.0, 0.0, 1023.0).astype(np.int32)
+    code = (
+        (_np_spread_bits_10(q[:, 0]) << 2)
+        | (_np_spread_bits_10(q[:, 1]) << 1)
+        | _np_spread_bits_10(q[:, 2])
+    )
+    return np.argsort(code, kind="stable").astype(np.int32)
 
 
 @dataclass
@@ -114,6 +150,7 @@ class MaterialTable:
     ior: jax.Array  # (M,) f32
     smooth: jax.Array  # (M,) bool
     tex_id: jax.Array  # (M,) i32 — index into TextureTable, -1 = constant albedo
+    packed: jax.Array  # (M, 8) f32 — type albedo(3) ior smooth tex_id pad
 
 
 _register(MaterialTable)
@@ -128,6 +165,7 @@ class TextureTable:
     bitmap_id: jax.Array  # (K,) i32 — index into atlas, -1 = procedural
     atlas: jax.Array  # (B, Hmax, Wmax, 3) f32 — normalized bitmap pixels
     atlas_size: jax.Array  # (B, 2) i32 — (height, width) per bitmap
+    packed: jax.Array  # (K, 12) f32 — type ca(3) cb(3) scalar bid h w pad
 
 
 _register(TextureTable)
@@ -240,6 +278,18 @@ def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
 
     cat = lambda xs: np.concatenate(xs, axis=0)
     v0, e1, e2 = cat(v0s), cat(e1s), cat(e2s)
+    fn_arr, n0_arr, n1_arr, n2_arr = cat(fns), cat(n0s), cat(n1s), cat(n2s)
+    uv0_arr, uv1_arr, uv2_arr = cat(uv0s), cat(uv1s), cat(uv2s)
+    mat_arr, mesh_arr, local_arr = cat(mat_ids), cat(mesh_ids), cat(local_ids)
+
+    if n_true > 0:  # store triangles along the Z-curve (see _np_morton_order)
+        order = _np_morton_order(v0, e1, e2)
+        v0, e1, e2 = v0[order], e1[order], e2[order]
+        fn_arr = fn_arr[order]
+        n0_arr, n1_arr, n2_arr = n0_arr[order], n1_arr[order], n2_arr[order]
+        uv0_arr, uv1_arr, uv2_arr = uv0_arr[order], uv1_arr[order], uv2_arr[order]
+        mat_arr, mesh_arr, local_arr = mat_arr[order], mesh_arr[order], local_arr[order]
+
     woop = _woop_transforms(v0, e1, e2)
 
     total = max(tri_pad, -(-len(v0) // tri_pad) * tri_pad)
@@ -251,22 +301,52 @@ def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
     def dev(x):
         return np.asarray(x)
 
+    pv0 = _pad(v0, total)
+    pe1 = _pad(e1, total)
+    pe2 = _pad(e2, total)
+    pfn = _pad(fn_arr, total)
+    pn0, pn1, pn2 = _pad(n0_arr, total), _pad(n1_arr, total), _pad(n2_arr, total)
+    puv0, puv1, puv2 = _pad(uv0_arr, total), _pad(uv1_arr, total), _pad(uv2_arr, total)
+    pmat = _pad(mat_arr, total, fill=-1)
+    pmesh = _pad(mesh_arr, total, fill=-1)
+    plocal = _pad(local_arr, total, fill=-1)
+
+    packed_a = np.zeros((total, 16), np.float32)
+    packed_a[:, 0:3] = pv0
+    packed_a[:, 3:6] = pe1
+    packed_a[:, 6:9] = pe2
+    packed_a[:, 9] = plocal.view(np.float32)
+    packed_a[:, 10] = pmesh.view(np.float32)
+    packed_a[:, 11] = pmat.view(np.float32)
+
+    packed_b = np.zeros((total, 24), np.float32)
+    packed_b[:, 0:3] = pn0
+    packed_b[:, 3:6] = pn1
+    packed_b[:, 6:9] = pn2
+    packed_b[:, 9:12] = pfn
+    packed_b[:, 12:14] = puv0[:, :2]
+    packed_b[:, 14:16] = puv1[:, :2]
+    packed_b[:, 16:18] = puv2[:, :2]
+
     geo = Geometry(
-        v0=dev(_pad(v0, total)),
-        e1=dev(_pad(e1, total)),
-        e2=dev(_pad(e2, total)),
+        v0=dev(pv0),
+        e1=dev(pe1),
+        e2=dev(pe2),
         woop=dev(woop),
-        face_normal=dev(_pad(cat(fns), total)),
-        n0=dev(_pad(cat(n0s), total)),
-        n1=dev(_pad(cat(n1s), total)),
-        n2=dev(_pad(cat(n2s), total)),
-        uv0=dev(_pad(cat(uv0s), total)),
-        uv1=dev(_pad(cat(uv1s), total)),
-        uv2=dev(_pad(cat(uv2s), total)),
-        mat_id=dev(_pad(cat(mat_ids), total, fill=-1)),
-        mesh_id=dev(_pad(cat(mesh_ids), total, fill=-1)),
-        local_id=dev(_pad(cat(local_ids), total, fill=-1)),
+        face_normal=dev(pfn),
+        n0=dev(pn0),
+        n1=dev(pn1),
+        n2=dev(pn2),
+        uv0=dev(puv0),
+        uv1=dev(puv1),
+        uv2=dev(puv2),
+        mat_id=dev(pmat),
+        mesh_id=dev(pmesh),
+        local_id=dev(plocal),
+        packed_a=dev(packed_a),
+        packed_b=dev(packed_b),
         n_tris=n_true,
+        morton_sorted=True,
     )
     return geo
 
@@ -287,7 +367,14 @@ def build_material_table(scene: Scene) -> MaterialTable:
         smooth[i] = mat.smooth_shading
         if mat.is_texture():
             tex_id[i] = tex_index.get(mat.texture_name, -1)
-    return MaterialTable(mtype=mtype, albedo=albedo, ior=ior, smooth=smooth, tex_id=tex_id)
+    packed = np.zeros((m, 8), np.float32)
+    packed[:, 0] = mtype.astype(np.float32)
+    packed[:, 1:4] = albedo
+    packed[:, 4] = ior
+    packed[:, 5] = smooth.astype(np.float32)
+    packed[:, 6] = tex_id.astype(np.float32)
+    return MaterialTable(mtype=mtype, albedo=albedo, ior=ior, smooth=smooth,
+                         tex_id=tex_id, packed=packed)
 
 
 def build_texture_table(scene: Scene, base_dir: str = ".") -> TextureTable:
@@ -329,9 +416,17 @@ def build_texture_table(scene: Scene, base_dir: str = ".") -> TextureTable:
         atlas = np.zeros((1, 1, 1, 3), np.float32)
         sizes = np.ones((1, 2), np.int32)
 
+    packed = np.zeros((k, 12), np.float32)
+    packed[:, 0] = ttype.astype(np.float32)
+    packed[:, 1:4] = color_a
+    packed[:, 4:7] = color_b
+    packed[:, 7] = scalar
+    packed[:, 8] = bitmap_id.astype(np.float32)
+    packed[:, 9] = sizes[np.clip(bitmap_id, 0, len(sizes) - 1), 0].astype(np.float32)
+    packed[:, 10] = sizes[np.clip(bitmap_id, 0, len(sizes) - 1), 1].astype(np.float32)
     return TextureTable(
         ttype=ttype, color_a=color_a, color_b=color_b, scalar=scalar,
-        bitmap_id=bitmap_id, atlas=atlas, atlas_size=sizes,
+        bitmap_id=bitmap_id, atlas=atlas, atlas_size=sizes, packed=packed,
     )
 
 

@@ -172,6 +172,44 @@ def intersect_bruteforce(
     return Hit(t=flat(bt), tri=flat(btri), u=flat(bu), v=flat(bv))
 
 
+def hit_record(origins, dirs, packed_a, hit: Hit):
+    """One wide gather -> exact (t, u, v) + per-triangle ids.
+
+    TPU gathers cost per row (not per byte): fetching v0/e1/e2/local/mesh/mat
+    as six narrow gathers costs ~6x35 ms at 2M rays, the single (N, 16)
+    packed gather a fraction of that.  Re-evaluates Möller-Trumbore exactly
+    for each ray's winning triangle (same refine trick as refine_hit).
+
+    Returns (refined Hit, local_id, mesh_id, mat_id) — ids are 0 for misses.
+    """
+    rec = packed_a[jnp.maximum(hit.tri, 0)]  # (N, 16) — THE gather
+    v0 = rec[:, 0:3]
+    e1 = rec[:, 3:6]
+    e2 = rec[:, 6:9]
+    local_id = jax.lax.bitcast_convert_type(rec[:, 9], jnp.int32)
+    mesh_id = jax.lax.bitcast_convert_type(rec[:, 10], jnp.int32)
+    mat_id = jax.lax.bitcast_convert_type(rec[:, 11], jnp.int32)
+
+    p = jnp.cross(dirs, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    inv_det = jnp.where(det != 0, 1.0 / det, 0.0)
+    s = origins - v0
+    u = jnp.sum(s * p, axis=-1) * inv_det
+    q = jnp.cross(s, e1)
+    v = jnp.sum(dirs * q, axis=-1) * inv_det
+    t = jnp.sum(e2 * q, axis=-1) * inv_det
+    ok = hit.mask
+    refined = Hit(
+        t=jnp.where(ok, t, hit.t),
+        tri=hit.tri,
+        u=jnp.where(ok, u, hit.u),
+        v=jnp.where(ok, v, hit.v),
+    )
+    zero = jnp.int32(0)
+    keep = lambda x: jnp.where(ok, x, zero)
+    return refined, keep(local_id), keep(mesh_id), keep(jnp.maximum(mat_id, 0))
+
+
 def refine_hit(origins, dirs, v0, e1, e2, hit: Hit) -> Hit:
     """Re-evaluate (t, u, v) exactly for each ray's winning triangle.
 

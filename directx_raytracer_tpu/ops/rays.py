@@ -27,16 +27,8 @@ T_MIN = 0.001
 T_MAX = 10000.0
 
 
-def tile_perm(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
-    """Permutation regrouping row-major pixels into (tile_h x tile_w) tiles.
-
-    Coherent square-ish ray tiles overlap ~10-30x fewer BVH clusters than
-    row strips of the same size (measured on the 100k-tri bench scene), which
-    directly scales the binned intersector's work.  Returns an (rows*width,)
-    i32 permutation p such that rays[p] is tile-major, or None if no
-    reasonable tile size divides the image (callers then keep row order).
-    """
-    import numpy as np
+def pick_tile(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
+    """Largest (th, tw) <= (tile_h, tile_w) dividing the image, or None."""
 
     def pick(total, want):
         for c in (want, 32, 24, 16, 12, 8, 6, 4, 3, 2):
@@ -48,6 +40,66 @@ def tile_perm(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
     tw = pick(width, tile_w)
     if th * tw < 16:  # degenerate tiling buys nothing
         return None
+    return th, tw
+
+
+def generate_rays_tiled(position, rotation, width: int, height: int,
+                        tile_h: int, tile_w: int, offset=(0.5, 0.5),
+                        row_start=0, rows: int | None = None):
+    """Primary rays in TILE-MAJOR order, computed arithmetically.
+
+    Equivalent to ``generate_rays(...)[tile_perm(...)]`` but with zero
+    gathers — a (2M, 3) permutation gather costs ~35 ms on TPU, more than
+    the BVH intersection it feeds.  Pixel (px, py) lands at flat index
+    ((ty*tiles_x + tx) * tile_h + ry) * tile_w + rx.
+    """
+    position = jnp.asarray(position, jnp.float32)
+    rotation = jnp.asarray(rotation, jnp.float32)
+    offset = jnp.asarray(offset, jnp.float32)
+    rows = height if rows is None else rows
+    ty_n, tx_n = rows // tile_h, width // tile_w
+
+    ty = jnp.arange(ty_n, dtype=jnp.float32).reshape(ty_n, 1, 1, 1)
+    tx = jnp.arange(tx_n, dtype=jnp.float32).reshape(1, tx_n, 1, 1)
+    ry = jnp.arange(tile_h, dtype=jnp.float32).reshape(1, 1, tile_h, 1)
+    rx = jnp.arange(tile_w, dtype=jnp.float32).reshape(1, 1, 1, tile_w)
+    py = ty * tile_h + ry + row_start
+    px = tx * tile_w + rx
+
+    x = (px + offset[0]) / width
+    y = (py + offset[1]) / height
+    x = 2.0 * x - 1.0
+    y = 1.0 - 2.0 * y
+    x = x * (width / height)
+
+    shape = (ty_n, tx_n, tile_h, tile_w)
+    x = jnp.broadcast_to(x, shape)
+    y = jnp.broadcast_to(y, shape)
+    dir_cam = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
+    dir_cam = normalize(dir_cam)
+    dir_world = normalize(
+        jnp.einsum("ij,abcdj->abcdi", rotation, dir_cam,
+                   precision=jax.lax.Precision.HIGHEST)
+    )
+    origins = jnp.broadcast_to(position, shape + (3,))
+    return origins.reshape(-1, 3), dir_world.reshape(-1, 3)
+
+
+def tile_perm(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
+    """Permutation regrouping row-major pixels into (tile_h x tile_w) tiles.
+
+    Coherent square-ish ray tiles overlap ~10-30x fewer BVH clusters than
+    row strips of the same size (measured on the 100k-tri bench scene), which
+    directly scales the binned intersector's work.  Returns an (rows*width,)
+    i32 permutation p such that rays[p] is tile-major, or None if no
+    reasonable tile size divides the image (callers then keep row order).
+    """
+    import numpy as np
+
+    t = pick_tile(rows, width, tile_h, tile_w)
+    if t is None:
+        return None
+    th, tw = t
     idx = np.arange(rows * width, dtype=np.int32).reshape(rows, width)
     return (
         idx.reshape(rows // th, th, width // tw, tw)

@@ -45,10 +45,11 @@ def sample_textures(tex: TextureTable, tex_id, uv, bary_uv):
     Returns (N, 3) f32 colors.
     """
     tid = jnp.maximum(tex_id, 0)
-    ttype = tex.ttype[tid]
-    color_a = tex.color_a[tid]
-    color_b = tex.color_b[tid]
-    scalar = tex.scalar[tid]
+    rec = tex.packed[tid]  # one wide gather instead of six narrow ones
+    ttype = rec[:, 0].astype(jnp.int32)
+    color_a = rec[:, 1:4]
+    color_b = rec[:, 4:7]
+    scalar = rec[:, 7]
 
     # EDGES (CRTTextureEdges.cpp:9-15) — barycentric space.
     bu, bv = bary_uv[:, 0], bary_uv[:, 1]
@@ -62,9 +63,9 @@ def sample_textures(tex: TextureTable, tex_id, uv, bary_uv):
     checker_color = jnp.where((((u2 + v2) % 2) == 0)[:, None], color_a, color_b)
 
     # BITMAP (CRTTextureBitmap.cpp:13-36) — clamp, v-flip, nearest.
-    bid = jnp.maximum(tex.bitmap_id[tid], 0)
-    h = tex.atlas_size[bid, 0].astype(jnp.float32)
-    w = tex.atlas_size[bid, 1].astype(jnp.float32)
+    bid = jnp.maximum(rec[:, 8].astype(jnp.int32), 0)
+    h = rec[:, 9]
+    w = rec[:, 10]
     cu = jnp.clip(uv[:, 0], 0.0, 1.0)
     cv = jnp.clip(uv[:, 1], 0.0, 1.0)
     row = ((1.0 - cv) * (h - 1.0)).astype(jnp.int32)
@@ -78,8 +79,13 @@ def sample_textures(tex: TextureTable, tex_id, uv, bary_uv):
     return out
 
 
-def hit_attributes(dscene: DeviceScene, origins, dirs, hit):
-    """Gather per-ray surface attributes for shading.
+def hit_attributes(dscene: DeviceScene, origins, dirs, hit, mat_id):
+    """Per-ray surface attributes for shading via wide packed-record gathers
+    (one (N, 24) geometry row + one (N, 8) material row — narrow per-field
+    gathers at 2M rays cost more than the intersection itself).
+
+    Args:
+      mat_id: (N,) i32 per-ray material ids (from ops.intersect.hit_record).
 
     Returns dict with point, normal (smooth/flat per material), geometric
     normal, albedo (texture-resolved), and material fields.
@@ -91,19 +97,25 @@ def hit_attributes(dscene: DeviceScene, origins, dirs, hit):
     v = hit.v[:, None]
     w = 1.0 - u - v
 
-    point = origins + dirs * hit.t[:, None]
-    n_geom = geo.face_normal[tri]
-    n_smooth = normalize(w * geo.n0[tri] + u * geo.n1[tri] + v * geo.n2[tri], eps=1e-12)
+    rec = geo.packed_b[tri]  # (N, 24)
+    n0, n1, n2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
+    n_geom = rec[:, 9:12]
+    uv0, uv1, uv2 = rec[:, 12:14], rec[:, 14:16], rec[:, 16:18]
 
-    mat_id = jnp.maximum(geo.mat_id[tri], 0)
-    smooth = mats.smooth[mat_id]
+    point = origins + dirs * hit.t[:, None]
+    n_smooth = normalize(w * n0 + u * n1 + v * n2, eps=1e-12)
+
+    mrec = mats.packed[mat_id]  # (N, 8)
+    mtype = mrec[:, 0].astype(jnp.int32)
+    albedo = mrec[:, 1:4]
+    ior = mrec[:, 4]
+    smooth = mrec[:, 5] > 0.5
+    tex_id = mrec[:, 6].astype(jnp.int32)
     normal = jnp.where(smooth[:, None], n_smooth, n_geom)
 
-    uv = w * geo.uv0[tri] + u * geo.uv1[tri] + v * geo.uv2[tri]
-    albedo = mats.albedo[mat_id]
-    tex_id = mats.tex_id[mat_id]
+    uv = w * uv0 + u * uv1 + v * uv2
     bary_uv = jnp.concatenate([hit.u[:, None], hit.v[:, None]], axis=1)
-    tex_color = sample_textures(dscene.textures, tex_id, uv[:, :2], bary_uv)
+    tex_color = sample_textures(dscene.textures, tex_id, uv, bary_uv)
     albedo = jnp.where((tex_id >= 0)[:, None], tex_color, albedo)
 
     return {
@@ -111,8 +123,8 @@ def hit_attributes(dscene: DeviceScene, origins, dirs, hit):
         "normal": normal,
         "n_geom": n_geom,
         "albedo": albedo,
-        "mtype": mats.mtype[mat_id],
-        "ior": mats.ior[mat_id],
+        "mtype": mtype,
+        "ior": ior,
     }
 
 

@@ -7,6 +7,11 @@ function of (scene buffers, camera snapshot, mode) returning an (H, W, 3)
 f32 image; resolution is static (compiled per size), the shading mode is a
 traced int so switching modes never recompiles (the reference's equivalent
 knob is a constant-buffer write, DXRTRenderer.cpp:272-300).
+
+Rays are generated directly in tile-major order (coherent tiles feed the
+binned BVH intersector), per-hit attributes come from ONE wide packed-record
+gather, and the tile->raster reorder at the end is a pure reshape/transpose
+— the pipeline contains no narrow 2M-row gathers or scatters.
 """
 
 from __future__ import annotations
@@ -18,8 +23,21 @@ import jax.numpy as jnp
 
 from ..models.scene import DeviceScene
 from ..ops.debug_shading import MISS_COLOR, shade_debug
-from ..ops.intersect import intersect_bruteforce, refine_hit
-from ..ops.rays import generate_rays, tile_perm
+from ..ops.intersect import hit_record, intersect_bruteforce
+from ..ops.rays import generate_rays, generate_rays_tiled, pick_tile
+
+
+def untile(flat, width: int, height: int, tile):
+    """Tile-major (H*W, C) -> raster (H, W, C) via reshape/transpose."""
+    if tile is None:
+        return flat.reshape(height, width, -1)
+    th, tw = tile
+    c = flat.shape[-1]
+    return (
+        flat.reshape(height // th, width // tw, th, tw, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(height, width, c)
+    )
 
 
 @partial(jax.jit, static_argnames=("width", "height", "intersect_fn"))
@@ -38,30 +56,27 @@ def render_debug(
       dscene: device scene pytree.
       cam_position, cam_rotation: camera snapshot ((3,), (3,3)).
       mode: i32 scalar 0..6 (traced — no recompile on change).
-      intersect_fn: optional override (e.g. a BVH-backed intersector) with the
+      intersect_fn: optional override (e.g. the BVH intersector) with the
         signature (origins, dirs, geometry) -> Hit; defaults to brute force.
 
     Returns:
       (H, W, 3) f32 image in [0, 1].
     """
     geo = dscene.geometry
-    origins, dirs = generate_rays(cam_position, cam_rotation, width, height)
-    perm = tile_perm(height, width)
-    if perm is not None:  # coherent tiles for the binned intersector
-        origins = origins[perm]
-        dirs = dirs[perm]
+    tile = pick_tile(height, width)
+    if tile is None:
+        origins, dirs = generate_rays(cam_position, cam_rotation, width, height)
+    else:
+        origins, dirs = generate_rays_tiled(
+            cam_position, cam_rotation, width, height, tile[0], tile[1]
+        )
     if intersect_fn is None:
         hit = intersect_bruteforce(origins, dirs, geo.woop)
     else:
         hit = intersect_fn(origins, dirs, geo)
-    hit = refine_hit(origins, dirs, geo.v0, geo.e1, geo.e2, hit)
+    hit, local_id, mesh_id, _ = hit_record(origins, dirs, geo.packed_a, hit)
 
-    tri = jnp.maximum(hit.tri, 0)
-    local_id = geo.local_id[tri]
-    mesh_id = geo.mesh_id[tri]
     color = shade_debug(mode, origins, dirs, hit.t, hit.u, hit.v, local_id, mesh_id)
     miss = jnp.array(MISS_COLOR, jnp.float32)
     color = jnp.where(hit.mask[:, None], color, miss)
-    if perm is not None:
-        color = jnp.zeros_like(color).at[perm].set(color)
-    return color.reshape(height, width, 3)
+    return untile(color, width, height, tile)

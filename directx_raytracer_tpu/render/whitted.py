@@ -42,8 +42,9 @@ import jax.numpy as jnp
 
 from ..models.material import MaterialType
 from ..models.scene import DeviceScene
-from ..ops.intersect import intersect_bruteforce, occluded_bruteforce, refine_hit
-from ..ops.rays import RGSS_OFFSETS, generate_rays, tile_perm
+from ..ops.intersect import hit_record, intersect_bruteforce, occluded_bruteforce
+from ..ops.rays import RGSS_OFFSETS, generate_rays, generate_rays_tiled, pick_tile
+from .debug import untile
 from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, refract_fresnel
 
 # Continuations whose peak throughput falls below this contribute < 1/256 of
@@ -84,19 +85,22 @@ def _compact(cand: dict, capacity: int):
 
 
 def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: bool,
-                capacity: int | None = None):
+                capacity: int | None = None, aligned: bool = False):
     """One wavefront bounce: intersect, shade terminals into framebuffer,
-    emit compacted specular continuations.  Returns (state', fb', stats)."""
+    emit compacted specular continuations.  Returns (state', fb', stats).
+
+    ``aligned=True`` (primary pass): rays are in framebuffer order, so the
+    contribution is a plain add — 2M-row scatters serialize on TPU."""
     geo = dscene.geometry
     q = capacity or state["origins"].shape[0]
     active = state["active"]
 
     hit = intersect_fn(state["origins"], state["dirs"], geo)
-    hit = refine_hit(state["origins"], state["dirs"], geo.v0, geo.e1, geo.e2, hit)
+    hit, _, _, mat_id = hit_record(state["origins"], state["dirs"], geo.packed_a, hit)
     hit_mask = active & hit.mask
     miss_mask = active & ~hit.mask
 
-    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit)
+    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit, mat_id)
     mtype = attrs["mtype"]
     is_diffuse = mtype == MaterialType.DIFFUSE
     is_constant = mtype == MaterialType.CONSTANT
@@ -121,7 +125,10 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     contrib = contrib + jnp.where(
         (hit_mask & is_constant)[:, None], thpt * attrs["albedo"], 0.0
     )
-    framebuffer = framebuffer.at[pixel].add(contrib, mode="drop")
+    if aligned:
+        framebuffer = framebuffer + contrib
+    else:
+        framebuffer = framebuffer.at[pixel].add(contrib, mode="drop")
 
     if last:
         return None, framebuffer, {"alive": jnp.int32(0), "dropped": jnp.int32(0)}
@@ -212,28 +219,30 @@ def render_tile(
     offsets = jnp.asarray(offsets, jnp.float32)
 
     n_pix = width * rows
-    # Tile-swizzle the primary wavefront: coherent ray tiles make the binned
-    # BVH intersector ~10-30x cheaper, and the framebuffer scatter by pixel
-    # id makes ray order a free choice.
-    perm = tile_perm(rows, width)
-    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
-    if perm is not None:
-        pixel_ids = pixel_ids[perm]
+    # The primary wavefront is generated directly in tile-major order:
+    # coherent ray tiles make the binned BVH intersector ~10-30x cheaper,
+    # the framebuffer lives in the same order (plain add on the primary
+    # pass), and the final raster reorder is a pure reshape/transpose.
+    tile = pick_tile(rows, width)
 
     framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
     stats = []
     for k in range(offsets.shape[0]):
-        origins, dirs = generate_rays(
-            cam_position, cam_rotation, width, height, offsets[k], row_start, rows
-        )
-        if perm is not None:
-            origins = origins[perm]
-            dirs = dirs[perm]
+        if tile is None:
+            origins, dirs = generate_rays(
+                cam_position, cam_rotation, width, height, offsets[k],
+                row_start, rows
+            )
+        else:
+            origins, dirs = generate_rays_tiled(
+                cam_position, cam_rotation, width, height, tile[0], tile[1],
+                offsets[k], row_start, rows
+            )
         state = {
             "origins": origins,
             "dirs": dirs,
             "throughput": jnp.full((n_pix, 3), weight, jnp.float32),
-            "pixel": pixel_ids,
+            "pixel": jnp.arange(n_pix, dtype=jnp.int32),
             "active": jnp.ones((n_pix,), bool),
         }
         for depth in range(max_depth):
@@ -241,12 +250,13 @@ def render_tile(
                 dscene, state, framebuffer, isect, occluder,
                 last=(depth == max_depth - 1),
                 capacity=n_pix * queue_factor,
+                aligned=(depth == 0),
             )
             stats.append(s)
             if state is None:
                 break
 
-    image = framebuffer.reshape(rows, width, 3)
+    image = untile(framebuffer, width, rows, tile)
     return image, {
         "alive": jnp.stack([s["alive"] for s in stats]),
         "dropped": jnp.stack([s["dropped"] for s in stats]),

@@ -175,10 +175,11 @@ class TestRendererIntegration:
         scene = testscenes.cornell_box(48, 32)
         d = build_device_scene(scene)
         bvh = build_bvh(d.geometry)
+        # XLA clustered path: Pallas needs a TPU (or interpret mode).
         img_bvh, _ = render_whitted(
             d, scene.camera.position, scene.camera.rotation, 48, 32, max_depth=2,
-            intersect_fn=make_bvh_intersect_fn(bvh),
-            occluder_factory=make_bvh_occluder_factory(bvh),
+            intersect_fn=make_bvh_intersect_fn(bvh, use_pallas=False),
+            occluder_factory=make_bvh_occluder_factory(bvh, use_pallas=False),
         )
         img_ref, _ = render_whitted(
             d, scene.camera.position, scene.camera.rotation, 48, 32, max_depth=2

@@ -42,10 +42,13 @@ def test_dragon_device_scene(dragon_path):
     geo = ds.geometry
     assert geo.n_tris == 4014
     assert geo.v0.shape[0] % 128 == 0
-    # mesh ids: first 2 tris are mesh 0 (plane), rest mesh 1 (dragon)
-    assert geo.mesh_id[0] == 0 and geo.mesh_id[1] == 0
-    assert geo.mesh_id[2] == 1 and geo.mesh_id[4013] == 1
-    assert geo.local_id[2] == 0 and geo.local_id[4013] == 4011
+    # mesh ids survive Morton reordering: 2 plane tris + 4012 dragon tris
+    mid = np.asarray(geo.mesh_id[: geo.n_tris])
+    assert (mid == 0).sum() == 2 and (mid == 1).sum() == 4012
+    # local ids (PrimitiveIndex) per mesh form complete 0..n-1 sets
+    lid = np.asarray(geo.local_id[: geo.n_tris])
+    assert sorted(lid[mid == 0].tolist()) == [0, 1]
+    assert sorted(lid[mid == 1].tolist()) == list(range(4012))
     # padding is inert
     assert np.all(np.asarray(geo.mat_id[4014:]) == -1)
     assert ds.lights.n_lights == 4
