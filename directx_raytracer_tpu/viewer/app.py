@@ -1,0 +1,199 @@
+"""Viewer application — the DXRTApp / DXRTMainWindow analog.
+
+The reference is a Qt shell around an idle-timer render loop (DXRTApp.cpp:
+109-120) with WASD movement, mouse look, a shading-mode combo and an FPS
+status bar.  Headless TPU hosts get the same control surface three ways:
+
+* ``render``   — one frame to PNG (scene path + camera/mode flags);
+* ``orbit``    — camera-path scripting: N frames orbiting the scene,
+  written as a PNG sequence (and an FPS/Mrays report);
+* ``interactive`` — live ANSI-terminal viewport with WASD/arrow controls,
+  per-second FPS line, mode switching, frame saving.
+
+All config is CLI flags (the reference hard-codes everything: scene path
+DXRTRenderer.cpp:245, 1920x1080 in four places — SURVEY.md §5 config row).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+from ..io import crtscene
+from ..models.camera import Camera
+from ..ops.debug_shading import MODE_NAMES
+from ..render.renderer import Renderer, describe_devices
+from ..utils.image import write_png
+from .. import testscenes
+
+log = logging.getLogger("directx_raytracer_tpu")
+
+MOVE_SPEED = 10.0  # units/sec (DXRTApp.h:61)
+SENSITIVITY = 2.0  # degrees per look keypress
+SCROLL_SPEED = 0.5  # zoom per keypress (DXRTApp.h:63 scaled)
+
+
+def load_scene(path: str | None, builtin: str | None):
+    if builtin:
+        return getattr(testscenes, builtin)()
+    if path is None:
+        raise SystemExit("a scene file or --builtin is required")
+    return crtscene.load(path)
+
+
+def _build_renderer(args) -> Renderer:
+    scene = load_scene(args.scene, args.builtin)
+    base_dir = "." if args.scene is None else args.scene.rsplit("/", 1)[0] or "."
+    return Renderer(scene, width=args.width, height=args.height,
+                    base_dir=base_dir)
+
+
+def _frame(renderer: Renderer, args):
+    if args.whitted:
+        img, _ = renderer.render_whitted_frame(max_depth=args.depth, spp=args.spp)
+    else:
+        img = renderer.render_frame(mode=args.mode)
+    return renderer.to_u8(img)
+
+
+def cmd_render(args):
+    r = _build_renderer(args)
+    img = _frame(r, args)
+    write_png(args.output, img)
+    print(f"wrote {args.output} ({r.width}x{r.height}, "
+          f"{'whitted' if args.whitted else MODE_NAMES[args.mode]})")
+
+
+def cmd_orbit(args):
+    r = _build_renderer(args)
+    target = np.zeros(3, np.float32)
+    np.asarray(_frame(r, args))  # compile outside the timed loop
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        img = _frame(r, args)
+        if args.output:
+            write_png(args.output % i if "%" in args.output
+                      else f"{args.output}.{i:04d}.png", img)
+        r.camera.pan_around_target(360.0 / args.frames, target)
+    np.asarray(img)  # final sync
+    dt = time.perf_counter() - t0
+    rays = args.frames * r.width * r.height * (args.spp if args.whitted else 1)
+    print(f"{args.frames} frames in {dt:.2f}s -> {args.frames/dt:.1f} FPS, "
+          f"{rays/dt/1e6:.1f} Mrays/s")
+
+
+def cmd_interactive(args):
+    from . import tty
+
+    r = _build_renderer(args)
+    mode = args.mode
+    whitted = args.whitted
+    sys.stdout.write(tty.clear_screen())
+    last = time.perf_counter()
+    status = ""
+    with tty.RawKeyboard() as kb:
+        while True:
+            now = time.perf_counter()
+            dt = min(now - last, 0.25)
+            last = now
+            moved = False
+            while (key := kb.poll()) is not None:
+                moved = True
+                if key in ("x", "esc"):
+                    sys.stdout.write("\n")
+                    return
+                elif key == "w":
+                    r.camera.move_forward(-MOVE_SPEED * dt * 4)
+                elif key == "s":
+                    r.camera.move_forward(MOVE_SPEED * dt * 4)
+                elif key == "a":
+                    r.camera.move_right(-MOVE_SPEED * dt * 4)
+                elif key == "d":
+                    r.camera.move_right(MOVE_SPEED * dt * 4)
+                elif key == "left":
+                    r.camera.rotate(-SENSITIVITY, 0.0)
+                elif key == "right":
+                    r.camera.rotate(SENSITIVITY, 0.0)
+                elif key == "up":
+                    r.camera.rotate(0.0, -SENSITIVITY)
+                elif key == "down":
+                    r.camera.rotate(0.0, SENSITIVITY)
+                elif key == "q":
+                    r.camera.zoom(SCROLL_SPEED)
+                elif key == "e":
+                    r.camera.zoom(-SCROLL_SPEED)
+                elif key == "g":
+                    whitted = not whitted
+                elif key and key.isdigit() and int(key) < len(MODE_NAMES):
+                    mode = int(key)
+                elif key == "p":
+                    args.mode, args.whitted = mode, whitted
+                    write_png("frame.png", _frame(r, args))
+                    status = "saved frame.png"
+            args.mode, args.whitted = mode, whitted
+            img = _frame(r, args)
+            if r.stats.tick(0):
+                pass
+            sys.stdout.write(tty.home_cursor())
+            sys.stdout.write(tty.frame_to_ansi(img))
+            label = "whitted" if whitted else MODE_NAMES[mode]
+            sys.stdout.write(
+                f"\n{label} | {r.stats.fps:5.1f} FPS {r.stats.mrays:7.1f} Mrays/s"
+                f" | wasd move, arrows look, q/e zoom, 0-6 mode, g whitted,"
+                f" p save, x quit {status}\x1b[K"
+            )
+            sys.stdout.flush()
+
+
+def cmd_devices(args):
+    print(describe_devices())
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
+    p = argparse.ArgumentParser(
+        prog="python -m directx_raytracer_tpu.viewer",
+        description="TPU ray tracing viewer (DirectX-RayTracer capability surface)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, scene=True):
+        if scene:
+            sp.add_argument("scene", nargs="?", help=".crtscene file")
+            sp.add_argument("--builtin", help="test scene builder name "
+                            "(cornell_box, bench_scene, single_triangle, ...)")
+        sp.add_argument("--width", type=int, default=None)
+        sp.add_argument("--height", type=int, default=None)
+        sp.add_argument("--mode", type=int, default=0,
+                        help="debug shading mode 0-6 (" + ", ".join(
+                            f"{i}={n}" for i, n in enumerate(MODE_NAMES)) + ")")
+        sp.add_argument("--whitted", action="store_true",
+                        help="full Whitted shading (materials/lights/shadows)")
+        sp.add_argument("--depth", type=int, default=5, help="whitted max depth")
+        sp.add_argument("--spp", type=int, default=1, choices=(1, 4))
+
+    sp = sub.add_parser("render", help="render one frame to PNG")
+    common(sp)
+    sp.add_argument("--output", "-o", default="frame.png")
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("orbit", help="render an orbiting camera path")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=24)
+    sp.add_argument("--output", "-o", default=None,
+                    help="PNG path or printf pattern (omit to benchmark only)")
+    sp.set_defaults(fn=cmd_orbit)
+
+    sp = sub.add_parser("interactive", help="live ANSI-terminal viewport")
+    common(sp)
+    sp.set_defaults(fn=cmd_interactive)
+
+    sp = sub.add_parser("devices", help="list accelerator devices")
+    sp.set_defaults(fn=cmd_devices)
+
+    args = p.parse_args(argv)
+    return args.fn(args)

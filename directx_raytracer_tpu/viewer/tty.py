@@ -1,0 +1,102 @@
+"""Terminal viewport — the DXRTViewportWidget analog for headless boxes.
+
+Renders frames as 24-bit-color ANSI half-block characters (each text cell
+shows two stacked pixels via '▀' with independent fg/bg colors) and reads
+raw keystrokes (termios cbreak) for the same control surface as the
+reference viewport (DXRTViewportWidget.cpp + DXRTApp WASD handling):
+
+  w/a/s/d   move forward/left/back/right      (DXRTApp.cpp:92-107)
+  arrows    look (yaw/pitch)                   (mouse-look analog, :50-72)
+  q/e       zoom out/in                        (wheel analog, :74-78)
+  0-6       debug shading mode                 (combo box analog)
+  g         toggle Whitted shading
+  p         save frame as PNG
+  x / Esc   quit
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+
+import numpy as np
+
+ESC = "\x1b"
+
+
+def terminal_size():
+    try:
+        sz = os.get_terminal_size()
+        if sz.columns >= 2 and sz.lines >= 3:
+            return sz.columns, sz.lines
+    except OSError:
+        pass
+    return 80, 24
+
+
+def frame_to_ansi(img_u8: np.ndarray, max_cols: int | None = None,
+                  max_rows: int | None = None) -> str:
+    """Encode an (H, W, 3) u8 image as ANSI half-block art."""
+    cols, lines = terminal_size()
+    max_cols = max_cols or cols
+    max_rows = max_rows or (lines - 2)
+    h, w, _ = img_u8.shape
+    # Each text row shows 2 pixel rows; nearest-neighbor downsample to fit.
+    target_w = min(max_cols, w)
+    target_h = min(max_rows * 2, h)
+    ys = (np.arange(target_h) * (h / target_h)).astype(np.int32)
+    xs = (np.arange(target_w) * (w / target_w)).astype(np.int32)
+    small = img_u8[ys][:, xs]
+    if target_h % 2:
+        small = small[:-1]
+    top = small[0::2]
+    bot = small[1::2]
+    out = []
+    for rt, rb in zip(top, bot):
+        row = []
+        for (r1, g1, b1), (r2, g2, b2) in zip(rt, rb):
+            row.append(f"{ESC}[38;2;{r1};{g1};{b1}m{ESC}[48;2;{r2};{g2};{b2}m▀")
+        out.append("".join(row) + f"{ESC}[0m")
+    return "\n".join(out)
+
+
+class RawKeyboard:
+    """Context manager: cbreak terminal + non-blocking key polling."""
+
+    def __enter__(self):
+        import termios
+        import tty
+
+        self.fd = sys.stdin.fileno()
+        self.saved = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
+
+    def poll(self) -> str | None:
+        """Next pending key (arrow keys decoded), or None."""
+        if not select.select([sys.stdin], [], [], 0)[0]:
+            return None
+        ch = sys.stdin.read(1)
+        if ch != ESC:
+            return ch
+        # Arrow keys arrive as ESC [ A/B/C/D.
+        if select.select([sys.stdin], [], [], 0.005)[0]:
+            seq = sys.stdin.read(1)
+            if seq == "[" and select.select([sys.stdin], [], [], 0.005)[0]:
+                code = sys.stdin.read(1)
+                return {"A": "up", "B": "down", "C": "right", "D": "left"}.get(code, None)
+        return "esc"
+
+
+def home_cursor() -> str:
+    return f"{ESC}[H"
+
+
+def clear_screen() -> str:
+    return f"{ESC}[2J{ESC}[H"
