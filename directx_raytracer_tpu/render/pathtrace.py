@@ -1,0 +1,251 @@
+"""Progressive wavefront path tracer — BASELINE config 5 (stretch).
+
+Monte Carlo extension of the Whitted wavefront (render/whitted.py): the same
+fixed-capacity compacted ray queues, but stochastic transport instead of
+deterministic splitting:
+
+* DIFFUSE: next-event estimation against one uniformly-picked point light
+  (shadow ray, same ``intensity / (4 pi r^2) * cos`` model as the Whitted
+  path, so 1-bounce PT matches the Whitted direct term) + cosine-weighted
+  hemisphere continuation (throughput *= albedo — the cos/pdf cancel);
+* REFLECTIVE: deterministic mirror, throughput *= albedo;
+* REFRACTIVE: one stochastic branch chosen with Fresnel probability
+  (throughput unchanged — the probability cancels the weight; albedo is
+  white by the parser's rule);
+* CONSTANT: emissive-style flat terminal (albedo added, no lights);
+* misses add throughput * background (the environment term);
+* Russian roulette from bounce 3 keeps expected value unbiased while
+  draining the queue.
+
+Progressive accumulation lives in a ``PTState`` pytree (accumulated linear
+radiance + sample count + PRNG key) that is checkpointable to ``.npz``
+(save_state/load_state) — the checkpoint/resume surface the reference's
+File->Save stub never implemented (DXRTMainWindow.cpp:155-158).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.material import MaterialType
+from ..models.scene import DeviceScene
+from ..ops.intersect import hit_record
+from ..ops.rays import generate_rays, generate_rays_tiled, pick_tile
+from ..ops.shading import RAY_BIAS, FOUR_PI, SHADOW_BIAS, hit_attributes, reflect, refract_fresnel
+from .debug import untile
+from .whitted import _compact, _default_intersect, _default_occluder
+
+MIN_THROUGHPUT = 5e-3
+RR_START = 3  # first bounce applying Russian roulette
+
+
+def _onb(n):
+    """Orthonormal basis around unit normal n (Duff et al. branchless)."""
+    s = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[:, 2])
+    b = n[:, 0] * n[:, 1] * a
+    t = jnp.stack([1.0 + s * n[:, 0] * n[:, 0] * a, s * b, -s * n[:, 0]], axis=1)
+    bt = jnp.stack([b, s + n[:, 1] * n[:, 1] * a, -n[:, 1]], axis=1)
+    return t, bt
+
+
+def _cosine_sample(key, n):
+    """Cosine-weighted hemisphere directions about normals n (N, 3)."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (n.shape[0],))
+    u2 = jax.random.uniform(k2, (n.shape[0],))
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))
+    t, bt = _onb(n)
+    return x[:, None] * t + y[:, None] * bt + z[:, None] * n
+
+
+def _nee(key, points, normals, lights, occluder_fn):
+    """One-light next-event estimation: pick a light uniformly, return its
+    shadowed contribution x n_lights (the inverse pick probability)."""
+    n = points.shape[0]
+    n_lights = lights.n_lights
+    if n_lights == 0:
+        return jnp.zeros((n, 1), jnp.float32)
+    pick = jax.random.randint(key, (n,), 0, n_lights)
+    lpos = lights.position[pick]
+    linten = lights.intensity[pick]
+    to_light = lpos - points
+    dist = jnp.linalg.norm(to_light, axis=-1)
+    ldir = to_light / jnp.maximum(dist, 1e-12)[:, None]
+    cos = jnp.maximum(jnp.sum(normals * ldir, axis=-1), 0.0)
+    contrib = linten / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2) * cos
+    if occluder_fn is not None:
+        shadow_o = points + normals * SHADOW_BIAS
+        blocked = occluder_fn(shadow_o, ldir, dist - 2.0 * SHADOW_BIAS)
+        contrib = jnp.where(blocked, 0.0, contrib)
+    return (contrib * n_lights)[:, None]
+
+
+def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
+               capacity):
+    geo = dscene.geometry
+    active = state["active"]
+    hit = intersect_fn(state["origins"], state["dirs"], geo)
+    hit, _, _, mat_id = hit_record(state["origins"], state["dirs"], geo.packed_a, hit)
+    hit_mask = active & hit.mask
+    miss_mask = active & ~hit.mask
+    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit, mat_id)
+    mtype = attrs["mtype"]
+    thpt = state["throughput"]
+    pixel = state["pixel"]
+
+    is_diffuse = hit_mask & (mtype == MaterialType.DIFFUSE)
+    is_constant = hit_mask & (mtype == MaterialType.CONSTANT)
+    is_mirror = hit_mask & (mtype == MaterialType.REFLECTIVE)
+    is_glass = hit_mask & (mtype == MaterialType.REFRACTIVE)
+
+    k_nee, k_dir, k_branch, k_rr = jax.random.split(key, 4)
+
+    # Terminal / direct contributions.
+    contrib = jnp.where(miss_mask[:, None], thpt * dscene.background_color[None, :], 0.0)
+    direct = _nee(k_nee, attrs["point"], attrs["normal"], dscene.lights, occluder_fn)
+    contrib += jnp.where(is_diffuse[:, None], thpt * attrs["albedo"] * direct, 0.0)
+    contrib += jnp.where(is_constant[:, None], thpt * attrs["albedo"], 0.0)
+    radiance = radiance.at[pixel].add(contrib, mode="drop") if depth else radiance + contrib
+
+    # Continuations (single stochastic branch per ray).
+    n = attrs["normal"]
+    d = state["dirs"]
+    ng = attrs["n_geom"]
+    side = jnp.sign(jnp.sum(d * ng, axis=-1, keepdims=True))
+
+    diff_dir = _cosine_sample(k_dir, n)
+    mirror_dir = reflect(d, n)
+    refr_dir, refl_dir, fres, tir = refract_fresnel(d, n, attrs["ior"])
+    pick_refl = jax.random.uniform(k_branch, (fres.shape[0],)) < fres
+    glass_dir = jnp.where(pick_refl[:, None], refl_dir, refr_dir)
+    glass_out = jnp.where(pick_refl[:, None], -side, side)
+
+    new_dir = jnp.where(is_diffuse[:, None], diff_dir, d)
+    new_dir = jnp.where(is_mirror[:, None], mirror_dir, new_dir)
+    new_dir = jnp.where(is_glass[:, None], glass_dir, new_dir)
+    # Glass offsets to the transmission/reflection side of the geometric
+    # normal; diffuse/mirror continue off the shading normal.
+    offset = jnp.where(is_glass[:, None], glass_out * ng * RAY_BIAS, n * RAY_BIAS)
+
+    new_thpt = jnp.where(is_diffuse[:, None] | is_mirror[:, None],
+                         thpt * attrs["albedo"], thpt)
+
+    cont = is_diffuse | is_mirror | is_glass
+    # Russian roulette: unbiased queue draining.
+    if depth >= RR_START:
+        p = jnp.clip(jnp.max(new_thpt, axis=-1), 0.05, 1.0)
+        survive = jax.random.uniform(k_rr, p.shape) < p
+        cont = cont & survive
+        new_thpt = new_thpt / p[:, None]
+    cont = cont & (jnp.max(new_thpt, axis=-1) > MIN_THROUGHPUT)
+
+    cand = {
+        "origins": attrs["point"] + offset,
+        "dirs": new_dir,
+        "throughput": new_thpt,
+        "pixel": pixel,
+        "active": cont,
+    }
+    new_state, n_alive, _ = _compact(cand, capacity)
+    parked = ~new_state["active"]
+    new_state["origins"] = jnp.where(parked[:, None], 1e30, new_state["origins"])
+    new_state["dirs"] = jnp.where(parked[:, None], jnp.array([0.0, 0.0, 1.0]),
+                                  new_state["dirs"])
+    new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
+    return new_state, radiance, n_alive
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "intersect_fn", "occluder_factory"))
+def pathtrace_sample(dscene: DeviceScene, cam_position, cam_rotation, key,
+                     width: int, height: int, max_depth: int = 6,
+                     intersect_fn=None, occluder_factory=None):
+    """One full-image sample: (H*W, 3) tile-major linear radiance."""
+    geo = dscene.geometry
+    isect = intersect_fn or _default_intersect
+    occluder = (occluder_factory or _default_occluder)(geo)
+    n_pix = width * height
+    tile = pick_tile(height, width)
+
+    key, k_jit = jax.random.split(key)
+    off = jax.random.uniform(k_jit, (2,))  # per-sample subpixel jitter
+    if tile is None:
+        origins, dirs = generate_rays(cam_position, cam_rotation, width, height, off)
+    else:
+        origins, dirs = generate_rays_tiled(
+            cam_position, cam_rotation, width, height, tile[0], tile[1], off
+        )
+
+    state = {
+        "origins": origins,
+        "dirs": dirs,
+        "throughput": jnp.ones((n_pix, 3), jnp.float32),
+        "pixel": jnp.arange(n_pix, dtype=jnp.int32),
+        "active": jnp.ones((n_pix,), bool),
+    }
+    radiance = jnp.zeros((n_pix, 3), jnp.float32)
+    for depth in range(max_depth):
+        key, k = jax.random.split(key)
+        state, radiance, _ = _pt_bounce(
+            dscene, state, radiance, k, depth, isect, occluder, capacity=n_pix
+        )
+    return radiance
+
+
+class PathTracer:
+    """Progressive accumulator with checkpoint/resume."""
+
+    def __init__(self, dscene, width: int, height: int, max_depth: int = 6,
+                 intersect_fn=None, occluder_factory=None, seed: int = 0):
+        self.dscene = dscene
+        self.width = width
+        self.height = height
+        self.max_depth = max_depth
+        self.intersect_fn = intersect_fn
+        self.occluder_factory = occluder_factory
+        self.accum = jnp.zeros((width * height, 3), jnp.float32)
+        self.n_samples = 0
+        self.key = jax.random.PRNGKey(seed)
+
+    def step(self, cam_position, cam_rotation, n: int = 1):
+        for _ in range(n):
+            self.key, k = jax.random.split(self.key)
+            self.accum = self.accum + pathtrace_sample(
+                self.dscene, cam_position, cam_rotation, k,
+                self.width, self.height, self.max_depth,
+                self.intersect_fn, self.occluder_factory,
+            )
+            self.n_samples += 1
+        return self
+
+    def image(self):
+        """(H, W, 3) mean radiance in raster order."""
+        tile = pick_tile(self.height, self.width)
+        mean = self.accum / max(self.n_samples, 1)
+        return untile(mean, self.width, self.height, tile)
+
+    def reset(self):
+        self.accum = jnp.zeros_like(self.accum)
+        self.n_samples = 0
+
+    # -- checkpoint / resume ------------------------------------------------
+    def save_state(self, path: str) -> None:
+        np.savez(path, accum=np.asarray(self.accum), n_samples=self.n_samples,
+                 key=np.asarray(self.key), width=self.width, height=self.height)
+
+    def load_state(self, path: str) -> None:
+        z = np.load(path)
+        if int(z["width"]) != self.width or int(z["height"]) != self.height:
+            raise ValueError("checkpoint resolution mismatch")
+        self.accum = jnp.asarray(z["accum"])
+        self.n_samples = int(z["n_samples"])
+        self.key = jnp.asarray(z["key"])

@@ -149,6 +149,35 @@ def cmd_interactive(args):
             sys.stdout.flush()
 
 
+def cmd_pathtrace(args):
+    from ..render.pathtrace import PathTracer
+
+    r = _build_renderer(args)
+    pt = PathTracer(r.dscene, r.width, r.height, max_depth=args.depth,
+                    intersect_fn=r.intersect_fn,
+                    occluder_factory=r.occluder_factory, seed=args.seed)
+    if args.resume:
+        pt.load_state(args.resume)
+        print(f"resumed at {pt.n_samples} spp")
+    pos, rot = r.camera.snapshot()
+    pt.step(pos, rot, n=1)  # compile
+    t0 = time.perf_counter()
+    done = pt.n_samples
+    while pt.n_samples < args.samples:
+        pt.step(pos, rot, n=min(args.checkpoint_every,
+                                args.samples - pt.n_samples))
+        if args.state:
+            pt.save_state(args.state)
+        el = time.perf_counter() - t0
+        log.info("%d/%d spp (%.2f s/spp)", pt.n_samples, args.samples,
+                 el / max(pt.n_samples - done, 1))
+    img = np.asarray(pt.image())
+    # simple tonemap: clamp + gamma 2.2 for the PNG
+    img = np.clip(img, 0.0, 1.0) ** (1.0 / 2.2) if args.gamma else img
+    write_png(args.output, img)
+    print(f"wrote {args.output} at {pt.n_samples} spp")
+
+
 def cmd_devices(args):
     print(describe_devices())
 
@@ -191,6 +220,18 @@ def main(argv=None):
     sp = sub.add_parser("interactive", help="live ANSI-terminal viewport")
     common(sp)
     sp.set_defaults(fn=cmd_interactive)
+
+    sp = sub.add_parser("pathtrace", help="progressive path-traced render")
+    common(sp)
+    sp.add_argument("--samples", type=int, default=64, help="target spp")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--output", "-o", default="pt.png")
+    sp.add_argument("--state", default=None,
+                    help="accumulation checkpoint path (.npz), saved per chunk")
+    sp.add_argument("--resume", default=None, help="checkpoint to resume from")
+    sp.add_argument("--checkpoint-every", type=int, default=16)
+    sp.add_argument("--gamma", action="store_true", default=True)
+    sp.set_defaults(fn=cmd_pathtrace)
 
     sp = sub.add_parser("devices", help="list accelerator devices")
     sp.set_defaults(fn=cmd_devices)
