@@ -1,3 +1,13 @@
-from .sharding import make_mesh, render_whitted_multichip
+from .sharding import (
+    make_mesh,
+    pathtrace_multichip,
+    render_whitted_multichip,
+    untile_multichip,
+)
 
-__all__ = ["make_mesh", "render_whitted_multichip"]
+__all__ = [
+    "make_mesh",
+    "render_whitted_multichip",
+    "pathtrace_multichip",
+    "untile_multichip",
+]

@@ -102,3 +102,79 @@ def render_whitted_multichip(
     # Each sample shard gets its contiguous slice of the offset table.
     return shard_fn(dscene, jnp.asarray(cam_position, jnp.float32),
                     jnp.asarray(cam_rotation, jnp.float32), jnp.asarray(offs))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "max_depth", "spp", "mesh",
+                     "intersect_fn", "occluder_factory"),
+)
+def pathtrace_multichip(
+    dscene: DeviceScene,
+    cam_position,
+    cam_rotation,
+    key,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    spp: int = 1,
+    max_depth: int = 6,
+    intersect_fn=None,
+    occluder_factory=None,
+):
+    """``spp`` path-traced samples sharded over a (tiles, samples) mesh.
+
+    Each chip renders its row stripe with an independent PRNG fold per
+    (sample-shard, iteration); the progressive sum rides ICI via a psum over
+    the 'samples' axis — the accumulation pattern of SURVEY.md §2e.
+
+    Returns (H*W, 3) accumulated radiance (divide by ``spp``), laid out as
+    per-stripe tile-major blocks — reassemble with ``untile_multichip``.
+    """
+    from ..render.pathtrace import pathtrace_tile
+
+    n_tiles = mesh.shape["tiles"]
+    n_samples = mesh.shape["samples"]
+    if height % n_tiles:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
+    if spp % n_samples:
+        raise ValueError(f"spp {spp} not divisible by sample axis {n_samples}")
+    rows = height // n_tiles
+    local_spp = spp // n_samples
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    def shard_fn(scene, pos, rot, key):
+        t = jax.lax.axis_index("tiles")
+        s = jax.lax.axis_index("samples")
+        key = jax.random.fold_in(jax.random.fold_in(key, t), s)
+        acc = jnp.zeros((rows * width, 3), jnp.float32)
+        for i in range(local_spp):
+            k = jax.random.fold_in(key, i)
+            acc = acc + pathtrace_tile(
+                scene, pos, rot, k, width, height,
+                row_start=t * rows, rows=rows, max_depth=max_depth,
+                intersect_fn=intersect_fn, occluder_factory=occluder_factory,
+            )
+        return jax.lax.psum(acc, "samples")
+
+    return shard_fn(dscene, jnp.asarray(cam_position, jnp.float32),
+                    jnp.asarray(cam_rotation, jnp.float32), key)
+
+
+def untile_multichip(flat, width: int, height: int, n_tiles: int):
+    """Per-stripe tile-major (H*W, 3) -> raster (H, W, 3)."""
+    from ..ops.rays import pick_tile
+    from ..render.debug import untile
+
+    rows = height // n_tiles
+    tile = pick_tile(rows, width)
+    stripes = flat.reshape(n_tiles, rows * width, 3)
+    return jnp.concatenate(
+        [untile(s, width, rows, tile) for s in stripes], axis=0
+    )

@@ -164,25 +164,28 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
     return new_state, radiance, n_alive
 
 
-@partial(jax.jit, static_argnames=("width", "height", "max_depth",
-                                   "intersect_fn", "occluder_factory"))
-def pathtrace_sample(dscene: DeviceScene, cam_position, cam_rotation, key,
-                     width: int, height: int, max_depth: int = 6,
-                     intersect_fn=None, occluder_factory=None):
-    """One full-image sample: (H*W, 3) tile-major linear radiance."""
+def pathtrace_tile(dscene: DeviceScene, cam_position, cam_rotation, key,
+                   width: int, height: int, row_start=0,
+                   rows: int | None = None, max_depth: int = 6,
+                   intersect_fn=None, occluder_factory=None):
+    """One sample of the full-width row tile [row_start, row_start+rows):
+    (rows*W, 3) tile-major linear radiance.  Trace-level (callers jit)."""
     geo = dscene.geometry
     isect = intersect_fn or _default_intersect
     occluder = (occluder_factory or _default_occluder)(geo)
-    n_pix = width * height
-    tile = pick_tile(height, width)
+    rows = height if rows is None else rows
+    n_pix = width * rows
+    tile = pick_tile(rows, width)
 
     key, k_jit = jax.random.split(key)
     off = jax.random.uniform(k_jit, (2,))  # per-sample subpixel jitter
     if tile is None:
-        origins, dirs = generate_rays(cam_position, cam_rotation, width, height, off)
+        origins, dirs = generate_rays(cam_position, cam_rotation, width,
+                                      height, off, row_start, rows)
     else:
         origins, dirs = generate_rays_tiled(
-            cam_position, cam_rotation, width, height, tile[0], tile[1], off
+            cam_position, cam_rotation, width, height, tile[0], tile[1], off,
+            row_start, rows
         )
 
     state = {
@@ -199,6 +202,19 @@ def pathtrace_sample(dscene: DeviceScene, cam_position, cam_rotation, key,
             dscene, state, radiance, k, depth, isect, occluder, capacity=n_pix
         )
     return radiance
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth",
+                                   "intersect_fn", "occluder_factory"))
+def pathtrace_sample(dscene: DeviceScene, cam_position, cam_rotation, key,
+                     width: int, height: int, max_depth: int = 6,
+                     intersect_fn=None, occluder_factory=None):
+    """One full-image sample: (H*W, 3) tile-major linear radiance."""
+    return pathtrace_tile(
+        dscene, cam_position, cam_rotation, key, width, height,
+        row_start=0, rows=height, max_depth=max_depth,
+        intersect_fn=intersect_fn, occluder_factory=occluder_factory,
+    )
 
 
 class PathTracer:

@@ -54,3 +54,33 @@ def test_indivisible_height_raises(cornell):
         render_whitted_multichip(
             d, scene.camera.position, scene.camera.rotation, 64, 47, mesh
         )
+
+
+def test_pathtrace_multichip_converges_like_single_chip():
+    import jax
+    from directx_raytracer_tpu.parallel import pathtrace_multichip, untile_multichip
+    from directx_raytracer_tpu.render.pathtrace import PathTracer
+
+    scene = testscenes.cornell_box(64, 48, light_intensity=60.0)
+    d = build_device_scene(scene)
+    pos, rot = scene.camera.snapshot()
+    mesh = make_mesh(n_tiles=4, n_samples=2)
+    spp = 16
+    acc = pathtrace_multichip(
+        d, pos, rot, jax.random.PRNGKey(0), 64, 48, mesh, spp=spp, max_depth=3
+    )
+    img_mc = np.asarray(untile_multichip(acc / spp, 64, 48, 4))
+    assert img_mc.shape == (48, 64, 3)
+    assert np.isfinite(img_mc).all() and (img_mc >= 0).all()
+
+    pt = PathTracer(d, 64, 48, max_depth=3, seed=9)
+    pt.step(pos, rot, n=spp)
+    img_sc = np.asarray(pt.image())
+    # Independent RNG streams at 16 spp are individually noisy; block
+    # averaging (12x16 pixels) collapses the Monte Carlo error so the two
+    # estimators must agree structurally.
+    blk = lambda im: im.reshape(4, 12, 4, 16, 3).mean(axis=(1, 3))
+    a, b = blk(img_mc), blk(img_sc)
+    rel = np.abs(a - b).mean(axis=-1) / (0.5 + b.mean(axis=-1))
+    assert rel.max() < 0.2
+    assert abs(img_mc.mean() - img_sc.mean()) < 0.03
