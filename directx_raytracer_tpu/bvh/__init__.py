@@ -32,6 +32,8 @@ class BVH:
 
 
 def build_bvh(geometry, k: int = 128) -> BVH:
+    # k=128 balances cluster-level culling cost (binning/sort scale with C)
+    # against per-visit triangle waste; measured best on 100k-tri scenes.
     cs = build_clusters(geometry, k=k)
     return BVH(cs, planar_mats(cs))
 

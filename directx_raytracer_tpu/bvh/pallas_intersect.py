@@ -53,7 +53,7 @@ from .clustered import ClusterSet
 INF = float("inf")
 BIG = 1e30
 TILE_R = 768  # rays per tile (24x32 pixels — matches ops.rays.tile_perm)
-VISIT_BUDGET = 32768  # (tile, cluster) pairs per kernel launch
+VISIT_BUDGET = 49152  # (tile, cluster) pairs per kernel launch
 
 
 # ---------------------------------------------------------------------------
@@ -202,13 +202,21 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float):
                 (tt > t_min) & (tt < best_t[:, None])
                 & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
             )
-            tt = jnp.where(valid, tt, INF)
-            m = jnp.min(tt, axis=1)
+            # Pack (t | column) into one sortable i32 so a single lane
+            # reduce yields both the winning distance and its triangle: the
+            # 11 low mantissa bits carry the column (t > 0 keeps f32 bit
+            # patterns order-isomorphic to i32; the truncation is ~1e-4
+            # relative and exact t is re-derived by hit_record outside).
             col = jax.lax.broadcasted_iota(jnp.int32, (tile_r, k), 1)
-            win = jnp.min(jnp.where(tt <= m[:, None], col, k), axis=1)
+            packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | col
+            packed = jnp.where(valid, packed, jnp.int32(2**31 - 2))
+            mp = jnp.min(packed, axis=1, keepdims=True)
+            m = pltpu.bitcast(mp & jnp.int32(~2047), jnp.float32)[:, 0]
             closer = m < best_t
             out_t_ref[0, 0, :] = jnp.where(closer, m, best_t)
-            out_slot_ref[0, 0, :] = jnp.where(closer, c * k + win, best_slot)
+            out_slot_ref[0, 0, :] = jnp.where(
+                closer, c * k + (mp[:, 0] & 2047), best_slot
+            )
 
     return kernel
 
