@@ -45,10 +45,11 @@ def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536):
     runs everywhere, e.g. CPU tests without interpret mode)."""
 
     if use_pallas:
-        def intersect(origins, dirs, geometry):
-            return intersect_pallas(origins, dirs, bvh.clusters, bvh.wplanar)
+        def intersect(origins, dirs, geometry, tile_bounds=None):
+            return intersect_pallas(origins, dirs, bvh.clusters, bvh.wplanar,
+                                    bounds=tile_bounds)
     else:
-        def intersect(origins, dirs, geometry):
+        def intersect(origins, dirs, geometry, tile_bounds=None):
             return intersect_clustered(origins, dirs, bvh.clusters, block=block)
 
     return intersect

@@ -93,18 +93,29 @@ def _interval_inv(d_lo, d_hi):
     return i_lo, i_hi
 
 
-def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN):
+def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
     """Per-tile cluster lists via interval-arithmetic frustum culling.
 
     Args:
       origins, dirs: (T, R, 3) tiled rays.
+      bounds: optional precomputed per-tile interval dict (see
+        ops.rays.tile_frustum_bounds) — skips the (T, R, 3) reduces (~34 ms
+        at 2M rays) for primary pinhole tiles.  May use UNNORMALIZED
+        directions (slab overlap is scale-invariant); entry keys are then
+        divided by ``len_hi`` to stay a conservative lower bound in the
+        normalized ray parameter the kernel's early-out compares against.
     Returns (ids (T, C) i32 near-to-far then misses, entry (T, C) f32 sorted
     conservative entry distances, counts (T,) i32).
     """
-    o_lo = origins.min(axis=1)  # (T, 3)
-    o_hi = origins.max(axis=1)
-    d_lo = dirs.min(axis=1)
-    d_hi = dirs.max(axis=1)
+    if bounds is not None:
+        o_lo, o_hi = bounds["o_lo"], bounds["o_hi"]
+        d_lo, d_hi = bounds["d_lo"], bounds["d_hi"]
+        t_min = 0.0  # t parameterization may be scaled; keep it conservative
+    else:
+        o_lo = origins.min(axis=1)  # (T, 3)
+        o_hi = origins.max(axis=1)
+        d_lo = dirs.min(axis=1)
+        d_hi = dirs.max(axis=1)
 
     entry = jnp.full((origins.shape[0], cs.aabb_min.shape[0]), -BIG)
     exit_ = jnp.full_like(entry, BIG)
@@ -121,6 +132,8 @@ def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN):
 
     overlap = (entry <= exit_) & (exit_ >= t_min)
     key = jnp.where(overlap, jnp.maximum(entry, t_min), INF)
+    if bounds is not None and "len_hi" in bounds:
+        key = jnp.where(jnp.isfinite(key), key / bounds["len_hi"][:, None], key)
     key_sorted, ids = jax.lax.sort_key_val(
         key, jnp.broadcast_to(jnp.arange(key.shape[1], dtype=jnp.int32), key.shape),
         dimension=1,
@@ -287,7 +300,7 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
 
 @partial(jax.jit, static_argnames=("tile_r", "budget"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
-            budget: int):
+            budget: int, bounds=None):
     """(best_t, best_slot) over all rays (padded to whole tiles inside)."""
     n = origins.shape[0]
     pad = (-n) % tile_r
@@ -295,11 +308,15 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
         origins = jnp.concatenate([origins, jnp.zeros((pad, 3), jnp.float32)])
         dirs = jnp.concatenate([dirs, jnp.ones((pad, 3), jnp.float32)])
         t_init = jnp.concatenate([t_init, jnp.zeros((pad,), jnp.float32)])
+        bounds = None  # precomputed bounds no longer line up with tiles
     m = origins.shape[0]
     tiles = m // tile_r
+    if bounds is not None and bounds["d_lo"].shape[0] != tiles:
+        bounds = None
 
     ids, entry, counts = bin_clusters(
-        origins.reshape(tiles, tile_r, 3), dirs.reshape(tiles, tile_r, 3), cs
+        origins.reshape(tiles, tile_r, 3), dirs.reshape(tiles, tile_r, 3), cs,
+        bounds=bounds,
     )
 
     rays8 = jnp.concatenate(
@@ -349,7 +366,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
 @partial(jax.jit, static_argnames=("tile_r", "budget", "refine"))
 def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
                      tile_r: int = TILE_R, budget: int = VISIT_BUDGET,
-                     refine: bool = False) -> Hit:
+                     refine: bool = False, bounds=None) -> Hit:
     """Closest hit via the fused kernel.
 
     By default returns a COARSE hit: ``t`` carries the kernel's packed value
@@ -362,7 +379,8 @@ def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
     n = origins.shape[0]
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
-    best_t, best_slot = _search(origins, dirs, t_max, cs, wplanar, tile_r, budget)
+    best_t, best_slot = _search(origins, dirs, t_max, cs, wplanar, tile_r,
+                                budget, bounds)
     hit = best_slot >= 0
     if cs.identity_order:
         tri = best_slot  # geometry is Morton-sorted: slot == triangle id

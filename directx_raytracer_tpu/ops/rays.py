@@ -85,6 +85,62 @@ def generate_rays_tiled(position, rotation, width: int, height: int,
     return origins.reshape(-1, 3), dir_world.reshape(-1, 3)
 
 
+def tile_frustum_bounds(position, rotation, width: int, height: int,
+                        tile_h: int, tile_w: int, row_start=0,
+                        rows: int | None = None):
+    """Analytic per-tile ray bounds for primary pinhole tiles.
+
+    The binned intersector needs per-tile origin/direction intervals; for
+    arbitrary rays that is a (T, R, 3) min/max reduce costing ~34 ms/frame
+    at 2M rays.  For pinhole primaries the UNNORMALIZED camera-space
+    direction (x, y, -1) is linear in the pixel coordinate, so its world
+    components are extremal at the tile's four corners — a (T, 4, 3)
+    computation.  Returns a dict for bin_clusters' ``bounds`` argument:
+
+      o_lo == o_hi = camera position (replicated),
+      d_lo/d_hi    = componentwise hull of the corner directions
+                     (UNNORMALIZED — slab tests are scale-invariant),
+      len_hi       = max |d| over the tile, to conservatively lower-bound
+                     normalized-parameter entry distances.
+
+    Corners span the full pixel footprint [0, tile] (not pixel centers), so
+    the bounds also cover every subpixel AA/jitter offset.
+    """
+    position = jnp.asarray(position, jnp.float32)
+    rotation = jnp.asarray(rotation, jnp.float32)
+    rows = height if rows is None else rows
+    ty_n, tx_n = rows // tile_h, width // tile_w
+    n_tiles = ty_n * tx_n
+
+    ty = jnp.arange(ty_n, dtype=jnp.float32).reshape(ty_n, 1, 1)
+    tx = jnp.arange(tx_n, dtype=jnp.float32).reshape(1, tx_n, 1)
+    cy = jnp.asarray([0.0, float(tile_h)]).reshape(1, 1, 2)
+    cx = jnp.asarray([0.0, float(tile_w)]).reshape(1, 1, 2)
+    py = ty * tile_h + cy + row_start  # (ty_n, 1, 2)
+    px = tx * tile_w + cx  # (1, tx_n, 2)
+
+    x = (2.0 * (px / width) - 1.0) * (width / height)  # (1, tx_n, 2)
+    y = 1.0 - 2.0 * (py / height)  # (ty_n, 1, 2)
+    x = jnp.broadcast_to(x[:, :, None, :], (ty_n, tx_n, 2, 2))  # [..., yc, xc]
+    y = jnp.broadcast_to(y[:, :, :, None], (ty_n, tx_n, 2, 2))
+    corners = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)  # (ty_n,tx_n,2,2,3)
+    world = jnp.einsum("ij,abcdj->abcdi", rotation, corners,
+                       precision=jax.lax.Precision.HIGHEST)
+    world = world.reshape(n_tiles, 4, 3)
+    len_hi = jnp.sqrt(
+        1.0 + jnp.max(x.reshape(n_tiles, 4) ** 2, axis=1)
+        + jnp.max(y.reshape(n_tiles, 4) ** 2, axis=1)
+    )
+    o = jnp.broadcast_to(position, (n_tiles, 3))
+    return {
+        "o_lo": o,
+        "o_hi": o,
+        "d_lo": world.min(axis=1),
+        "d_hi": world.max(axis=1),
+        "len_hi": len_hi,
+    }
+
+
 def tile_perm(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
     """Permutation regrouping row-major pixels into (tile_h x tile_w) tiles.
 

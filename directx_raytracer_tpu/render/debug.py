@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..models.scene import DeviceScene
 from ..ops.debug_shading import MISS_COLOR, shade_debug
 from ..ops.intersect import hit_record, intersect_bruteforce
-from ..ops.rays import generate_rays, generate_rays_tiled, pick_tile
+from ..ops.rays import (generate_rays, generate_rays_tiled, pick_tile,
+                        tile_frustum_bounds)
 
 
 def untile(flat, width: int, height: int, tile):
@@ -64,16 +65,20 @@ def render_debug(
     """
     geo = dscene.geometry
     tile = pick_tile(height, width)
+    bounds = None
     if tile is None:
         origins, dirs = generate_rays(cam_position, cam_rotation, width, height)
     else:
         origins, dirs = generate_rays_tiled(
             cam_position, cam_rotation, width, height, tile[0], tile[1]
         )
+        bounds = tile_frustum_bounds(
+            cam_position, cam_rotation, width, height, tile[0], tile[1]
+        )
     if intersect_fn is None:
         hit = intersect_bruteforce(origins, dirs, geo.woop)
     else:
-        hit = intersect_fn(origins, dirs, geo)
+        hit = intersect_fn(origins, dirs, geo, tile_bounds=bounds)
     hit, local_id, mesh_id, _ = hit_record(origins, dirs, geo.packed_a, hit)
 
     color = shade_debug(mode, origins, dirs, hit.t, hit.u, hit.v, local_id, mesh_id)

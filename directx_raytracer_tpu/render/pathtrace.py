@@ -93,7 +93,7 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
                capacity):
     geo = dscene.geometry
     active = state["active"]
-    hit = intersect_fn(state["origins"], state["dirs"], geo)
+    hit = intersect_fn(state["origins"], state["dirs"], geo, tile_bounds=None)
     hit, _, _, mat_id = hit_record(state["origins"], state["dirs"], geo.packed_a, hit)
     hit_mask = active & hit.mask
     miss_mask = active & ~hit.mask

@@ -52,7 +52,7 @@ from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, re
 MIN_THROUGHPUT = 1e-3
 
 
-def _default_intersect(origins, dirs, geo):
+def _default_intersect(origins, dirs, geo, tile_bounds=None):
     return intersect_bruteforce(origins, dirs, geo.woop)
 
 
@@ -85,7 +85,8 @@ def _compact(cand: dict, capacity: int):
 
 
 def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: bool,
-                capacity: int | None = None, aligned: bool = False):
+                capacity: int | None = None, aligned: bool = False,
+                tile_bounds=None):
     """One wavefront bounce: intersect, shade terminals into framebuffer,
     emit compacted specular continuations.  Returns (state', fb', stats).
 
@@ -95,7 +96,7 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     q = capacity or state["origins"].shape[0]
     active = state["active"]
 
-    hit = intersect_fn(state["origins"], state["dirs"], geo)
+    hit = intersect_fn(state["origins"], state["dirs"], geo, tile_bounds=tile_bounds)
     hit, _, _, mat_id = hit_record(state["origins"], state["dirs"], geo.packed_a, hit)
     hit_mask = active & hit.mask
     miss_mask = active & ~hit.mask
@@ -224,6 +225,14 @@ def render_tile(
     # the framebuffer lives in the same order (plain add on the primary
     # pass), and the final raster reorder is a pure reshape/transpose.
     tile = pick_tile(rows, width)
+    bounds = None
+    if tile is not None:
+        from ..ops.rays import tile_frustum_bounds
+
+        bounds = tile_frustum_bounds(
+            cam_position, cam_rotation, width, height, tile[0], tile[1],
+            row_start, rows,
+        )
 
     framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
     stats = []
@@ -251,6 +260,7 @@ def render_tile(
                 last=(depth == max_depth - 1),
                 capacity=n_pix * queue_factor,
                 aligned=(depth == 0),
+                tile_bounds=bounds if depth == 0 else None,
             )
             stats.append(s)
             if state is None:
