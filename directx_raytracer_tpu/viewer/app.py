@@ -69,21 +69,30 @@ def cmd_render(args):
 
 
 def cmd_orbit(args):
+    import contextlib
+
+    import jax
+
     r = _build_renderer(args)
     target = np.zeros(3, np.float32)
     np.asarray(_frame(r, args))  # compile outside the timed loop
+    profile_cm = (jax.profiler.trace(args.profile) if args.profile
+                  else contextlib.nullcontext())
     t0 = time.perf_counter()
-    for i in range(args.frames):
-        img = _frame(r, args)
-        if args.output:
-            write_png(args.output % i if "%" in args.output
-                      else f"{args.output}.{i:04d}.png", img)
-        r.camera.pan_around_target(360.0 / args.frames, target)
-    np.asarray(img)  # final sync
+    with profile_cm:
+        for i in range(args.frames):
+            img = _frame(r, args)
+            if args.output:
+                write_png(args.output % i if "%" in args.output
+                          else f"{args.output}.{i:04d}.png", img)
+            r.camera.pan_around_target(360.0 / args.frames, target)
+        np.asarray(img)  # final sync
     dt = time.perf_counter() - t0
     rays = args.frames * r.width * r.height * (args.spp if args.whitted else 1)
     print(f"{args.frames} frames in {dt:.2f}s -> {args.frames/dt:.1f} FPS, "
           f"{rays/dt/1e6:.1f} Mrays/s")
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
 
 
 def cmd_interactive(args):
@@ -213,6 +222,8 @@ def main(argv=None):
     sp = sub.add_parser("orbit", help="render an orbiting camera path")
     common(sp)
     sp.add_argument("--frames", type=int, default=24)
+    sp.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the frame loop")
     sp.add_argument("--output", "-o", default=None,
                     help="PNG path or printf pattern (omit to benchmark only)")
     sp.set_defaults(fn=cmd_orbit)
