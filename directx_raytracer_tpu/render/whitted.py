@@ -10,12 +10,14 @@ made real, designed as a TPU wavefront rather than a recursive per-pixel
 shader:
 
 * a ray *wavefront* is a fixed-capacity SoA queue (origins, dirs, RGB
-  throughput, pixel id, active mask) — capacity Q = H*W, so every pass costs
-  the same as the primary pass and shapes stay static under jit;
-* each bounce: closest-hit (MXU Woop matmuls), attribute gather, terminal
-  shading scattered into the framebuffer (`.at[pixel].add`), then the
-  surviving specular continuations are **compacted** (cumsum prefix + scatter
-  with mode='drop') into the next wavefront;
+  throughput, pixel id, active mask) generated directly in tile-major order
+  (coherent tiles feed the binned BVH intersector); shapes stay static
+  under jit;
+* each bounce: closest-hit (MXU Woop matmuls), one wide packed-record
+  gather for surface attributes, terminal shading into the framebuffer
+  (a plain aligned add on the primary pass; `.at[pixel].add` after
+  compaction), then the surviving specular continuations are **compacted**
+  (cumsum prefix + drop-mode scatter) into the next wavefront;
 * REFRACTIVE surfaces *split* the ray: the refraction branch (weight
   1 - Fresnel) goes in the first half of the candidate list, the reflection
   branch (weight Fresnel) in the second half, so under queue overflow the

@@ -24,7 +24,6 @@ import time
 import numpy as np
 
 from ..io import crtscene
-from ..models.camera import Camera
 from ..ops.debug_shading import MODE_NAMES
 from ..render.renderer import Renderer, describe_devices
 from ..utils.image import write_png
@@ -109,9 +108,7 @@ def cmd_interactive(args):
             now = time.perf_counter()
             dt = min(now - last, 0.25)
             last = now
-            moved = False
             while (key := kb.poll()) is not None:
-                moved = True
                 if key in ("x", "esc"):
                     sys.stdout.write("\n")
                     return
