@@ -53,7 +53,7 @@ from .clustered import ClusterSet
 INF = float("inf")
 BIG = 1e30
 TILE_R = 768  # rays per tile (24x32 pixels — matches ops.rays.tile_perm)
-VISIT_BUDGET = 49152  # (tile, cluster) pairs per kernel launch
+VISIT_BUDGET = 16384  # visit GROUPS (of VISIT_GROUP clusters) per launch
 
 
 # ---------------------------------------------------------------------------
@@ -144,53 +144,71 @@ def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
 
 
 
-def build_visits(ids, entry, counts, budget: int):
-    """Flatten ragged per-tile cluster lists into fixed-size visit arrays.
+def build_visit_groups(ids, entry, counts, budget: int, g: int):
+    """Flatten ragged per-tile cluster lists into fixed-size GROUPED visit
+    arrays: each grid step processes ``g`` clusters of one tile, amortizing
+    the ~1.1 us/step pipeline machinery.
 
-    Visits are tile-major (consecutive visits share a tile, letting the
-    kernel accumulate in the revisited output block), preserving the order
-    of ``ids`` within a tile (near-to-far when bin_clusters sorts).  Padding
-    visits point at the dummy tile slot T and are predicated off in the
-    kernel.
+    Groups are tile-major (consecutive groups share a tile, letting the
+    kernel accumulate in the revisited output block) and preserve the order
+    of ``ids`` within a tile (near-to-far when bin_clusters sorts).  A
+    tile's last group pads by REPEATING its last cluster — refolding the
+    same cluster into the running min is idempotent, so no per-subvisit
+    predication is needed.  Whole-step padding points at the dummy tile
+    slot T and is predicated off.
 
-    Formulated as GATHERS (searchsorted over the tile offsets), never as a
+    Formulated as GATHERS (searchsorted over group offsets), never as a
     scatter from the (T, C) grid — TPU scatters of millions of elements
     serialize and dominated the frame before this.
 
-    Returns (visit_tile, visit_cluster, visit_first, visit_entry, remaining)
-    where remaining counts the (tile, cluster) pairs beyond this chunk.
+    Returns (visit_tile, [visit_cluster_0..g-1], visit_first, visit_entry,
+    remaining_groups).
     """
     t, c = ids.shape
-    ends = jnp.cumsum(counts)
-    offs = ends - counts
+    g_counts = (counts + g - 1) // g
+    ends = jnp.cumsum(g_counts)
+    offs = ends - g_counts
     total = ends[-1]
     remaining = jnp.maximum(total - budget, 0)
 
     v = jnp.arange(budget, dtype=jnp.int32)
     in_range = v < total
-    # Which tile owns visit slot v: first tile whose end exceeds v.
     tile = jnp.searchsorted(ends, v, side="right").astype(jnp.int32)
     tile_c = jnp.minimum(tile, t - 1)
-    j = v - offs[tile_c]
-    cluster = ids[tile_c, jnp.clip(j, 0, c - 1)]
+    j = v - offs[tile_c]  # group index within the tile
+    base = j * g
+
+    last = jnp.maximum(counts[tile_c] - 1, 0)
+    vcs = []
+    for kk in range(g):
+        idx = jnp.minimum(base + kk, last)
+        cl = ids[tile_c, jnp.clip(idx, 0, c - 1)]
+        vcs.append(jnp.where(in_range, cl, 0))
 
     visit_tile = jnp.where(in_range, tile_c, t)
-    visit_cluster = jnp.where(in_range, cluster, 0)
     visit_first = (in_range & (j == 0)).astype(jnp.int32)
-    visit_entry = jnp.where(in_range, entry[tile_c, jnp.clip(j, 0, c - 1)], 0.0)
-    return visit_tile, visit_cluster, visit_first, visit_entry, remaining
+    visit_entry = jnp.where(
+        in_range, entry[tile_c, jnp.clip(base, 0, c - 1)], 0.0
+    )
+    return visit_tile, vcs, visit_first, visit_entry, remaining
 
 
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
+VISIT_GROUP = 4  # clusters folded per grid step
 
-def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float):
-    def kernel(vt_ref, vc_ref, vf_ref, ve_ref, rays_ref, init_t_ref, w_ref,
-               out_t_ref, out_slot_ref):
+
+def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
+    def kernel(*refs):
+        vt_ref, vf_ref, ve_ref = refs[0], refs[1], refs[2]
+        vc_refs = refs[3 : 3 + g]
+        rays_ref, init_t_ref = refs[3 + g], refs[4 + g]
+        w_refs = refs[5 + g : 5 + 2 * g]
+        out_t_ref, out_slot_ref = refs[5 + 2 * g], refs[6 + 2 * g]
+
         v = pl.program_id(0)
-        c = vc_ref[v]
         is_real = vt_ref[v] < n_real_tiles
 
         @pl.when((vf_ref[v] == 1) & is_real)
@@ -198,77 +216,90 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float):
             out_t_ref[0, 0, :] = init_t_ref[0, 0, :]
             out_slot_ref[0, 0, :] = jnp.full((tile_r,), -1, jnp.int32)
 
-        # Early-out: the visit list is near-to-far per tile, so once this
-        # cluster's conservative entry exceeds every ray's current best the
-        # remaining visits of this tile cannot improve anything.
+        # Early-out: groups are near-to-far per tile, so once this group's
+        # conservative entry exceeds every ray's current best the tile's
+        # remaining groups cannot improve anything.
         @pl.when(is_real & (ve_ref[v] <= jnp.max(out_t_ref[0, 0, :])))
         def _():
+            rays = rays_ref[0]
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_r, k), 1)
             best_t = out_t_ref[0, 0, :]
             best_slot = out_slot_ref[0, 0, :]
-            mm = jnp.dot(rays_ref[0], w_ref[0], preferred_element_type=jnp.float32)
-            opz = mm[:, 2 * k : 3 * k]
-            dpz = mm[:, 5 * k : 6 * k]
-            tt = -opz / dpz
-            u = mm[:, 0 * k : 1 * k] + tt * mm[:, 3 * k : 4 * k]
-            vv = mm[:, 1 * k : 2 * k] + tt * mm[:, 4 * k : 5 * k]
-            valid = (
-                (tt > t_min) & (tt < best_t[:, None])
-                & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
-            )
-            # Pack (t | column) into one sortable i32 so a single lane
-            # reduce yields both the winning distance and its triangle: the
-            # 11 low mantissa bits carry the column (t > 0 keeps f32 bit
-            # patterns order-isomorphic to i32; the truncation is ~1e-4
-            # relative and exact t is re-derived by hit_record outside).
-            col = jax.lax.broadcasted_iota(jnp.int32, (tile_r, k), 1)
-            packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | col
-            packed = jnp.where(valid, packed, jnp.int32(2**31 - 2))
-            mp = jnp.min(packed, axis=1, keepdims=True)
-            m = pltpu.bitcast(mp & jnp.int32(~2047), jnp.float32)[:, 0]
-            closer = m < best_t
-            out_t_ref[0, 0, :] = jnp.where(closer, m, best_t)
-            out_slot_ref[0, 0, :] = jnp.where(
-                closer, c * k + (mp[:, 0] & 2047), best_slot
-            )
+            for kk in range(g):
+                c = vc_refs[kk][v]
+                mm = jnp.dot(rays, w_refs[kk][0],
+                             preferred_element_type=jnp.float32)
+                opz = mm[:, 2 * k : 3 * k]
+                dpz = mm[:, 5 * k : 6 * k]
+                tt = -opz / dpz
+                u = mm[:, 0 * k : 1 * k] + tt * mm[:, 3 * k : 4 * k]
+                vv = mm[:, 1 * k : 2 * k] + tt * mm[:, 4 * k : 5 * k]
+                valid = (
+                    (tt > t_min) & (tt < best_t[:, None])
+                    & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
+                )
+                # Pack (t | column) into one sortable i32 so a single lane
+                # reduce yields both the winning distance and its triangle:
+                # the 11 low mantissa bits carry the column (t > 0 keeps f32
+                # bit patterns order-isomorphic to i32; the truncation is
+                # ~1e-4 relative and hit_record re-derives exact t outside).
+                packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | col
+                packed = jnp.where(valid, packed, jnp.int32(2**31 - 2))
+                mp = jnp.min(packed, axis=1, keepdims=True)
+                m = pltpu.bitcast(mp & jnp.int32(~2047), jnp.float32)[:, 0]
+                closer = m < best_t
+                best_t = jnp.where(closer, m, best_t)
+                best_slot = jnp.where(closer, c * k + (mp[:, 0] & 2047),
+                                      best_slot)
+            out_t_ref[0, 0, :] = best_t
+            out_slot_ref[0, 0, :] = best_slot
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("k", "tile_r", "budget"))
-def _launch(rays8, init_t, init_slot, vt, vc, vf, ve, w, k: int, tile_r: int,
+def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
             budget: int):
-    """One kernel launch over a visit chunk.
+    """One kernel launch over a grouped visit chunk.
 
     rays8: (T+1, R, 8) incl. dummy tile; init_t/init_slot: (T+1, 1, R).
     Returns updated (best_t, best_slot) of the same shape.
     """
+    g = len(vcs)
     n_slots = rays8.shape[0]
+
+    def tile_map(v, vt, vf, ve, *vcs):
+        return (vt[v], 0, 0)
+
+    def cluster_map(kk):
+        def f(v, vt, vf, ve, *vcs):
+            return (vcs[kk][v], 0, 0)
+        return f
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # visit tile / cluster / first / entry
+        num_scalar_prefetch=3 + g,  # tile / first / entry / g cluster ids
         grid=(budget,),
         in_specs=[
-            pl.BlockSpec((1, tile_r, 8), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_r), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 6 * k), lambda v, vt, vc, vf, ve: (vc[v], 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r, 8), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, 8, 6 * k), cluster_map(kk),
+                         memory_space=pltpu.VMEM)
+            for kk in range(g)
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile_r), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_r), lambda v, vt, vc, vf, ve: (vt[v], 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ],
     )
     out_t, out_slot = pl.pallas_call(
-        _make_kernel(k, tile_r, n_slots - 1, T_MIN),
+        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g),
         out_shape=[
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.float32),
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32),
         ],
         grid_spec=grid_spec,
-    )(vt, vc, vf, ve, rays8, init_t, w)
+    )(vt, vf, ve, *vcs, rays8, init_t, *([w] * g))
     # Tiles with zero visits never ran: keep their seeds.
     touched_t = jnp.zeros((n_slots,), bool).at[vt].set(True, mode="drop")
     out_t = jnp.where(touched_t[:, None, None], out_t, init_t)
@@ -331,27 +362,33 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     )
     best_slot = jnp.full((tiles + 1, 1, tile_r), -1, jnp.int32)
 
-    vt, vc, vf, ve, remaining = build_visits(ids, entry, counts, budget)
-    best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vc, vf, ve,
+    g = VISIT_GROUP
+    vt, vcs, vf, ve, remaining = build_visit_groups(ids, entry, counts,
+                                                    budget, g)
+    best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
                                 wplanar, cs.k, tile_r, budget)
 
-    # Rare overflow: loop whole extra launches until every pair is visited.
-    # The chunk scheduler fills tiles in visit order, so after a launch each
+    # Rare overflow: loop whole extra launches until every group is visited.
+    # The chunk scheduler fills tiles in group order, so after a launch each
     # tile is fully done, untouched, or (one boundary tile) partial.  Each
     # extra launch zeroes fully-done tiles and re-runs the rest from their
     # running best: ``visit_first`` re-seeds from the carried best (exactly
     # right) and redone visits fold idempotently into the running min.
+    g_counts = (counts + g - 1) // g
+
     def cond(state):
         return state[0] > 0
 
     def body(state):
         remaining, bt, bs = state
-        done = jnp.cumsum(counts) <= (jnp.sum(counts) - remaining)
+        done = jnp.cumsum(g_counts) <= (jnp.sum(g_counts) - remaining)
         eff_counts = jnp.where(done, 0, counts)
-        vt2, vc2, vf2, ve2, _ = build_visits(ids, entry, eff_counts, budget)
-        bt2, bs2 = _launch(rays8, bt, bs, vt2, vc2, vf2, ve2, wplanar, cs.k,
+        vt2, vcs2, vf2, ve2, _ = build_visit_groups(ids, entry, eff_counts,
+                                                    budget, g)
+        bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar, cs.k,
                            tile_r, budget)
-        rem2 = jnp.maximum(jnp.sum(eff_counts) - budget, 0)
+        eff_groups = (eff_counts + g - 1) // g
+        rem2 = jnp.maximum(jnp.sum(eff_groups) - budget, 0)
         return rem2, bt2, bs2
 
     remaining, best_t, best_slot = jax.lax.while_loop(

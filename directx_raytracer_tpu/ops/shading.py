@@ -128,35 +128,63 @@ def hit_attributes(dscene: DeviceScene, origins, dirs, hit, mat_id):
     }
 
 
-def direct_lighting(points, normals, lights, occluder_fn):
+def direct_lighting(points, normals, lights, occluder_fn, mask=None):
     """Lambert-weighted point-light sum with shadow rays.
+
+    All L lights' shadow rays go to the occluder as ONE (L*N,) batch: each
+    occluder call pays fixed binning/launch costs, and interleaving the
+    lights keeps per-tile ray coherence (every tile's rays still aim at a
+    single light).
 
     Args:
       points, normals: (N, 3).
       lights: LightTable.
-      occluder_fn: (origins, dirs, max_t) -> (N,) bool any-hit test, or None
+      occluder_fn: (origins, dirs, max_t) -> (M,) bool any-hit test, or None
         to disable shadows.
-    Returns (N, 3) un-albedo'd irradiance-style factor (broadcast to RGB).
+      mask: optional (N,) bool — rays that actually need shadows; the rest
+        are parked (origin 1e30, strictly-positive direction) so their
+        tiles bin to zero BVH work.
+    Returns (N, 1) un-albedo'd irradiance-style factor (broadcast to RGB).
     """
     n = points.shape[0]
-    total = jnp.zeros((n,), jnp.float32)
     n_lights = lights.n_lights
-    for i in range(lights.position.shape[0]):
-        if i >= n_lights:
-            break
-        lpos = lights.position[i]
-        linten = lights.intensity[i]
-        to_light = lpos[None, :] - points
-        dist = jnp.linalg.norm(to_light, axis=-1)
-        ldir = to_light / jnp.maximum(dist, 1e-12)[:, None]
-        cos = jnp.maximum(jnp.sum(normals * ldir, axis=-1), 0.0)
-        contrib = linten / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2) * cos
-        if occluder_fn is not None:
-            shadow_o = points + normals * SHADOW_BIAS
-            blocked = occluder_fn(shadow_o, ldir, dist - 2.0 * SHADOW_BIAS)
-            contrib = jnp.where(blocked, 0.0, contrib)
-        total = total + contrib
-    return total[:, None]
+    if n_lights == 0:
+        return jnp.zeros((n, 1), jnp.float32)
+    n_l = min(n_lights, lights.position.shape[0])
+    lpos = lights.position[:n_l]  # (L, 3)
+    linten = lights.intensity[:n_l]  # (L,)
+
+    to_light = lpos[:, None, :] - points[None, :, :]  # (L, N, 3)
+    dist = jnp.linalg.norm(to_light, axis=-1)  # (L, N)
+    ldir = to_light / jnp.maximum(dist, 1e-12)[..., None]
+    cos = jnp.maximum(jnp.einsum("ni,lni->ln", normals, ldir), 0.0)
+    contrib = linten[:, None] / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2) * cos
+
+    if occluder_fn is not None:
+        shadow_o = points + normals * SHADOW_BIAS  # (N, 3)
+        # Parked/degenerate wavefront slots carry non-finite points; give
+        # them a strictly-positive far ray so their tiles bin to nothing
+        # (see render/whitted.py parking note).  Masked-but-live rays KEEP
+        # their true geometry — replacing it would blow up the conservative
+        # box of any tile mixing masked and unmasked rays — and are disarmed
+        # via t_max = 0 instead (zero kernel work, tight boxes).
+        finite = jnp.isfinite(shadow_o).all(axis=-1)
+        shadow_o = jnp.where(finite[:, None], shadow_o, 1e30)
+        ldir = jnp.where(
+            jnp.isfinite(ldir).all(axis=-1, keepdims=True), ldir,
+            jnp.array([1.0, 1.0, 1.0]),
+        )
+        t_shadow = dist - 2.0 * SHADOW_BIAS
+        if mask is not None:
+            t_shadow = jnp.where((mask & finite)[None, :], t_shadow, 0.0)
+        origins = jnp.broadcast_to(shadow_o, (n_l, n, 3)).reshape(-1, 3)
+        blocked = occluder_fn(
+            origins, ldir.reshape(-1, 3), t_shadow.reshape(-1)
+        ).reshape(n_l, n)
+        contrib = jnp.where(blocked, 0.0, contrib)
+    if mask is not None:
+        contrib = jnp.where(mask[None, :], contrib, 0.0)
+    return jnp.sum(contrib, axis=0)[:, None]
 
 
 def reflect(d, n):

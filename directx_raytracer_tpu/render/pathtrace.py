@@ -67,9 +67,12 @@ def _cosine_sample(key, n):
     return x[:, None] * t + y[:, None] * bt + z[:, None] * n
 
 
-def _nee(key, points, normals, lights, occluder_fn):
+def _nee(key, points, normals, lights, occluder_fn, mask=None):
     """One-light next-event estimation: pick a light uniformly, return its
-    shadowed contribution x n_lights (the inverse pick probability)."""
+    shadowed contribution x n_lights (the inverse pick probability).
+
+    ``mask`` marks rays that need the shadow query; the rest are parked out
+    of the occluder's way (their contribution is discarded anyway)."""
     n = points.shape[0]
     n_lights = lights.n_lights
     if n_lights == 0:
@@ -84,8 +87,20 @@ def _nee(key, points, normals, lights, occluder_fn):
     contrib = linten / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2) * cos
     if occluder_fn is not None:
         shadow_o = points + normals * SHADOW_BIAS
-        blocked = occluder_fn(shadow_o, ldir, dist - 2.0 * SHADOW_BIAS)
+        # Same parking discipline as ops.shading.direct_lighting: only
+        # non-finite slots move far away; masked live rays keep their
+        # geometry (tight tile boxes) and get t_max = 0.
+        finite = jnp.isfinite(shadow_o).all(axis=-1)
+        shadow_o = jnp.where(finite[:, None], shadow_o, 1e30)
+        ldir = jnp.where(jnp.isfinite(ldir).all(axis=-1, keepdims=True),
+                         ldir, jnp.array([1.0, 1.0, 1.0]))
+        t_shadow = dist - 2.0 * SHADOW_BIAS
+        if mask is not None:
+            t_shadow = jnp.where(mask & finite, t_shadow, 0.0)
+        blocked = occluder_fn(shadow_o, ldir, t_shadow)
         contrib = jnp.where(blocked, 0.0, contrib)
+    if mask is not None:
+        contrib = jnp.where(mask, contrib, 0.0)
     return (contrib * n_lights)[:, None]
 
 
@@ -111,7 +126,8 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
 
     # Terminal / direct contributions.
     contrib = jnp.where(miss_mask[:, None], thpt * dscene.background_color[None, :], 0.0)
-    direct = _nee(k_nee, attrs["point"], attrs["normal"], dscene.lights, occluder_fn)
+    direct = _nee(k_nee, attrs["point"], attrs["normal"], dscene.lights,
+                  occluder_fn, mask=is_diffuse)
     contrib += jnp.where(is_diffuse[:, None], thpt * attrs["albedo"] * direct, 0.0)
     contrib += jnp.where(is_constant[:, None], thpt * attrs["albedo"], 0.0)
     radiance = radiance.at[pixel].add(contrib, mode="drop") if depth else radiance + contrib
@@ -156,9 +172,11 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
         "active": cont,
     }
     new_state, n_alive, _ = _compact(cand, capacity)
+    # Parked direction: strictly positive components (see whitted.py — a
+    # zero span makes the binner visit every cluster for parked tiles).
     parked = ~new_state["active"]
     new_state["origins"] = jnp.where(parked[:, None], 1e30, new_state["origins"])
-    new_state["dirs"] = jnp.where(parked[:, None], jnp.array([0.0, 0.0, 1.0]),
+    new_state["dirs"] = jnp.where(parked[:, None], jnp.array([1.0, 1.0, 1.0]),
                                   new_state["dirs"])
     new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
     return new_state, radiance, n_alive

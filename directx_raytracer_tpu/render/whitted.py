@@ -121,7 +121,8 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     contrib = jnp.where(miss_mask[:, None], thpt * dscene.background_color[None, :], 0.0)
 
     diffuse_mask = hit_mask & is_diffuse
-    light = direct_lighting(attrs["point"], attrs["normal"], dscene.lights, occluder_fn)
+    light = direct_lighting(attrs["point"], attrs["normal"], dscene.lights,
+                            occluder_fn, mask=diffuse_mask)
     contrib = contrib + jnp.where(
         diffuse_mask[:, None], thpt * attrs["albedo"] * light, 0.0
     )
@@ -177,11 +178,16 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
         jnp.max(cand["throughput"], axis=-1) > MIN_THROUGHPUT
     )
     new_state, n_alive, n_drop = _compact(cand, q)
-    # Park dead queue slots on rays that cannot hit anything.
+    # Park dead queue slots on rays that cannot hit anything.  The parked
+    # direction must have NO zero components: a zero span in a tile's
+    # direction interval makes the binner's conservative box cover the whole
+    # scene, and a fully-parked tile would then visit every cluster.  With
+    # strictly positive components and an origin beyond the scene, every
+    # cluster lies behind the ray and the tile bins to zero visits.
     parked = ~new_state["active"]
     new_state["origins"] = jnp.where(parked[:, None], 1e30, new_state["origins"])
     new_state["dirs"] = jnp.where(
-        parked[:, None], jnp.array([0.0, 0.0, 1.0]), new_state["dirs"]
+        parked[:, None], jnp.array([1.0, 1.0, 1.0]), new_state["dirs"]
     )
     new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
     return new_state, framebuffer, {"alive": n_alive, "dropped": n_drop}
