@@ -376,11 +376,17 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     # right) and redone visits fold idempotently into the running min.
     g_counts = (counts + g - 1) // g
 
+    # Iteration cap: a single tile whose group count exceeded the budget
+    # could otherwise re-run forever (would need a cluster count > budget*g
+    # in ONE tile — ~8M+ triangles at the defaults — but don't hang if it
+    # ever happens).
+    max_extra = 64
+
     def cond(state):
-        return state[0] > 0
+        return (state[0] > 0) & (state[3] < max_extra)
 
     def body(state):
-        remaining, bt, bs = state
+        remaining, bt, bs, it = state
         done = jnp.cumsum(g_counts) <= (jnp.sum(g_counts) - remaining)
         eff_counts = jnp.where(done, 0, counts)
         vt2, vcs2, vf2, ve2, _ = build_visit_groups(ids, entry, eff_counts,
@@ -389,10 +395,10 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
                            tile_r, budget)
         eff_groups = (eff_counts + g - 1) // g
         rem2 = jnp.maximum(jnp.sum(eff_groups) - budget, 0)
-        return rem2, bt2, bs2
+        return rem2, bt2, bs2, it + 1
 
-    remaining, best_t, best_slot = jax.lax.while_loop(
-        cond, body, (remaining, best_t, best_slot)
+    remaining, best_t, best_slot, _ = jax.lax.while_loop(
+        cond, body, (remaining, best_t, best_slot, jnp.int32(0))
     )
 
     best_t = best_t[:tiles].reshape(-1)[:n]
