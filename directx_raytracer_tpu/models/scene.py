@@ -106,6 +106,8 @@ class Geometry:
     # needs per hit is packed into two wide rows fetched by ONE gather each.
     packed_a: jax.Array  # (T, 16) f32 — v0(3) e1(3) e2(3) local mesh mat pad(4); ids bitcast i32
     packed_b: jax.Array  # (T, 24) f32 — n0(3) n1(3) n2(3) fn(3) uv0.xy uv1.xy uv2.xy pad(6)
+    scene_lo: jax.Array  # (3,) f32 — scene AABB (coherence sort of bounced rays)
+    scene_hi: jax.Array  # (3,) f32
     n_tris: int  # true (unpadded) triangle count
     morton_sorted: bool  # triangles stored in Morton order (BVH slot == id)
 
@@ -291,6 +293,9 @@ def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
         mat_arr, mesh_arr, local_arr = mat_arr[order], mesh_arr[order], local_arr[order]
 
     woop = _woop_transforms(v0, e1, e2)
+    p1, p2 = v0 + e1, v0 + e2
+    scene_lo = np.minimum(np.minimum(v0, p1), p2).min(axis=0).astype(np.float32)
+    scene_hi = np.maximum(np.maximum(v0, p1), p2).max(axis=0).astype(np.float32)
 
     total = max(tri_pad, -(-len(v0) // tri_pad) * tri_pad)
     bad_woop = np.zeros((3, 4), np.float32)
@@ -345,6 +350,8 @@ def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
         local_id=dev(plocal),
         packed_a=dev(packed_a),
         packed_b=dev(packed_b),
+        scene_lo=scene_lo,
+        scene_hi=scene_hi,
         n_tris=n_true,
         morton_sorted=True,
     )

@@ -179,6 +179,9 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
     new_state["dirs"] = jnp.where(parked[:, None], jnp.array([1.0, 1.0, 1.0]),
                                   new_state["dirs"])
     new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
+    from .whitted import sort_wavefront
+
+    new_state = sort_wavefront(new_state, geo.scene_lo, geo.scene_hi)
     return new_state, radiance, n_alive
 
 

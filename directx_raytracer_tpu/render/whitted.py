@@ -86,6 +86,51 @@ def _compact(cand: dict, capacity: int):
     return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
 
 
+def sort_wavefront(state, scene_lo, scene_hi):
+    """Re-order a compacted wavefront for ray coherence.
+
+    After one bounce, consecutive queue slots descend from neighbouring
+    pixels but point anywhere — a 768-ray tile then overlaps a large slice
+    of the BVH and the binned intersector's advantage collapses (measured:
+    ~40% of a Whitted frame).  Sorting by (active, direction octant, origin
+    Morton cell) re-forms tight tiles.  The whole SoA state moves through
+    ONE wide (Q, 12) gather (narrow per-field gathers are ~35 ms each at
+    2M rays).  Inactive slots sort last, so ``active == arange < n_alive``
+    stays true.
+    """
+    o = state["origins"]
+    d = state["dirs"]
+    q = o.shape[0]
+
+    ext = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    cell = jnp.clip((o - scene_lo) / ext * 512.0, 0.0, 511.0).astype(jnp.int32)
+    morton = jnp.zeros((q,), jnp.int32)
+    for bit in range(9):
+        for ax in range(3):
+            morton = morton | (((cell[:, ax] >> bit) & 1) << (3 * bit + ax))
+    octant = (
+        ((d[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+        | (d[:, 2] > 0).astype(jnp.int32)
+    )
+    key = (octant << 27) | morton
+    key = jnp.where(state["active"], key, jnp.int32(2**30))
+
+    _, order = jax.lax.sort_key_val(key, jnp.arange(q, dtype=jnp.int32))
+    packed = jnp.concatenate(
+        [o, d, state["throughput"],
+         jax.lax.bitcast_convert_type(state["pixel"], jnp.float32)[:, None],
+         jnp.zeros((q, 2), jnp.float32)], axis=1,
+    )[order]  # ONE wide gather
+    return {
+        "origins": packed[:, 0:3],
+        "dirs": packed[:, 3:6],
+        "throughput": packed[:, 6:9],
+        "pixel": jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32),
+        "active": state["active"],  # prefix-true, invariant under the sort
+    }
+
+
 def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: bool,
                 capacity: int | None = None, aligned: bool = False,
                 tile_bounds=None):
@@ -190,6 +235,7 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
         parked[:, None], jnp.array([1.0, 1.0, 1.0]), new_state["dirs"]
     )
     new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
+    new_state = sort_wavefront(new_state, geo.scene_lo, geo.scene_hi)
     return new_state, framebuffer, {"alive": n_alive, "dropped": n_drop}
 
 
