@@ -187,3 +187,88 @@ def load(path: str, use_native: bool | None = None) -> Scene:
             pass
     with open(path, "r") as f:
         return loads(f.read())
+
+
+def dumps(scene: Scene) -> str:
+    """Serialize a Scene back to the `.crtscene` JSON schema (the capability
+    behind the reference's never-connected File->Save menu item,
+    DXRTMainWindow.cpp:155-158).  round-trips through ``loads``."""
+    from ..models.material import MaterialType
+    from ..models.texture import TextureType
+
+    doc = {
+        "settings": {
+            "background_color": [float(x) for x in scene.settings.background_color],
+            "image_settings": {
+                "width": scene.settings.image_width,
+                "height": scene.settings.image_height,
+            },
+        },
+        "camera": {
+            "matrix": [float(x) for x in np.asarray(scene.camera.rotation).reshape(-1)],
+            "position": [float(x) for x in scene.camera.position],
+        },
+        "lights": [
+            {"intensity": float(l.intensity),
+             "position": [float(x) for x in l.position]}
+            for l in scene.lights
+        ],
+        "materials": [],
+        "objects": [],
+    }
+    type_names = {
+        MaterialType.DIFFUSE: "diffuse",
+        MaterialType.REFLECTIVE: "reflective",
+        MaterialType.REFRACTIVE: "refractive",
+        MaterialType.CONSTANT: "constant",
+    }
+    for m in scene.materials:
+        entry = {
+            "type": type_names.get(m.type, "diffuse"),
+            "smooth_shading": bool(m.smooth_shading),
+        }
+        if m.is_texture():
+            entry["albedo"] = m.texture_name
+        else:
+            entry["albedo"] = [float(x) for x in m.albedo]
+        if m.type == MaterialType.REFRACTIVE:
+            entry["ior"] = float(m.ior)
+        doc["materials"].append(entry)
+
+    if scene.textures:
+        doc["textures"] = []
+        for t in scene.textures:
+            e = {"name": t.name}
+            if t.type == TextureType.ALBEDO:
+                e["type"] = "albedo"
+                e["albedo"] = [float(x) for x in t.color_a]
+            elif t.type == TextureType.EDGES:
+                e["type"] = "edges"
+                e["edge_color"] = [float(x) for x in t.color_a]
+                e["inner_color"] = [float(x) for x in t.color_b]
+                e["edge_width"] = float(t.scalar)
+            elif t.type == TextureType.CHECKER:
+                e["type"] = "checker"
+                e["color_A"] = [float(x) for x in t.color_a]
+                e["color_B"] = [float(x) for x in t.color_b]
+                e["square_size"] = float(t.scalar)
+            else:
+                e["type"] = "bitmap"
+                e["file_path"] = t.file_path
+            doc["textures"].append(e)
+
+    for mesh in scene.meshes:
+        obj = {
+            "material_index": int(mesh.material_index),
+            "vertices": [float(x) for x in np.asarray(mesh.vertices).reshape(-1)],
+            "triangles": [int(i) for i in np.asarray(mesh.indices).reshape(-1)],
+        }
+        if len(mesh.uvs):
+            obj["uvs"] = [float(x) for x in np.asarray(mesh.uvs).reshape(-1)]
+        doc["objects"].append(obj)
+    return json.dumps(doc)
+
+
+def dump(scene: Scene, path: str) -> None:
+    with open(path, "w") as f:
+        f.write(dumps(scene))

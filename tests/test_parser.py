@@ -127,3 +127,26 @@ def test_empty_scene_parses():
     scene = crtscene.loads("{}")
     ds = build_device_scene(scene)
     assert ds.geometry.n_tris == 0
+
+
+def test_scene_writer_roundtrip(dragon_path):
+    """dump -> load reproduces the scene (File->Save, which the reference
+    stubs but never wires: DXRTMainWindow.cpp:155-158)."""
+    if not os.path.exists(dragon_path):
+        pytest.skip("reference Dragon.crtscene not available")
+    a = crtscene.load(dragon_path)
+    text = crtscene.dumps(a)
+    b = crtscene.loads(text)
+    assert b.settings.image_width == a.settings.image_width
+    np.testing.assert_allclose(b.camera.position, a.camera.position)
+    np.testing.assert_allclose(b.camera.rotation, a.camera.rotation)
+    assert len(b.lights) == len(a.lights)
+    assert len(b.materials) == len(a.materials)
+    for ma, mb in zip(a.materials, b.materials):
+        assert (ma.type, ma.smooth_shading, ma.texture_name) == (
+            mb.type, mb.smooth_shading, mb.texture_name)
+        np.testing.assert_allclose(mb.albedo, ma.albedo)
+    assert len(b.meshes) == len(a.meshes)
+    for sa, sb in zip(a.meshes, b.meshes):
+        np.testing.assert_allclose(sb.vertices, sa.vertices)
+        np.testing.assert_array_equal(sb.indices, sa.indices)
