@@ -56,6 +56,15 @@ TILE_R = 768  # rays per tile (24x32 pixels — matches ops.rays.tile_perm)
 VISIT_BUDGET = 16384  # visit GROUPS (of VISIT_GROUP clusters) per launch
 
 
+def _interpret() -> bool:
+    """Run the kernel via the Pallas interpreter off-TPU.
+
+    Lets the main CPU test suite execute the REAL kernel logic (packed
+    t|slot fold, overflow relaunch seeding, parked-tile binning) instead of
+    only the XLA clustered path — slow, so CPU tests keep scenes small."""
+    return jax.default_backend() != "tpu"
+
+
 # ---------------------------------------------------------------------------
 # Planar Woop operand
 # ---------------------------------------------------------------------------
@@ -144,7 +153,7 @@ def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
 
 
 
-def build_visit_groups(ids, entry, counts, budget: int, g: int):
+def build_visit_groups(ids, entry, counts, budget: int, g: int, start=0):
     """Flatten ragged per-tile cluster lists into fixed-size GROUPED visit
     arrays: each grid step processes ``g`` clusters of one tile, amortizing
     the ~1.1 us/step pipeline machinery.
@@ -157,6 +166,13 @@ def build_visit_groups(ids, entry, counts, budget: int, g: int):
     predication is needed.  Whole-step padding points at the dummy tile
     slot T and is predicated off.
 
+    ``start`` (traced ok) offsets into the GLOBAL group list: the launch
+    covers groups [start, start + budget), so overflow relaunches schedule
+    strictly new work (guaranteed progress; no accounting fixed points).  A
+    tile resumed mid-way gets ``visit_first`` on its first group *of this
+    launch* (v == start) so the kernel re-seeds its block from the carried
+    best.
+
     Formulated as GATHERS (searchsorted over group offsets), never as a
     scatter from the (T, C) grid — TPU scatters of millions of elements
     serialize and dominated the frame before this.
@@ -165,13 +181,14 @@ def build_visit_groups(ids, entry, counts, budget: int, g: int):
     remaining_groups).
     """
     t, c = ids.shape
+    start = jnp.asarray(start, jnp.int32)
     g_counts = (counts + g - 1) // g
     ends = jnp.cumsum(g_counts)
     offs = ends - g_counts
     total = ends[-1]
-    remaining = jnp.maximum(total - budget, 0)
+    remaining = jnp.maximum(total - start - budget, 0)
 
-    v = jnp.arange(budget, dtype=jnp.int32)
+    v = jnp.arange(budget, dtype=jnp.int32) + start
     in_range = v < total
     tile = jnp.searchsorted(ends, v, side="right").astype(jnp.int32)
     tile_c = jnp.minimum(tile, t - 1)
@@ -186,7 +203,7 @@ def build_visit_groups(ids, entry, counts, budget: int, g: int):
         vcs.append(jnp.where(in_range, cl, 0))
 
     visit_tile = jnp.where(in_range, tile_c, t)
-    visit_first = (in_range & (j == 0)).astype(jnp.int32)
+    visit_first = (in_range & ((j == 0) | (v == start))).astype(jnp.int32)
     visit_entry = jnp.where(
         in_range, entry[tile_c, jnp.clip(base, 0, c - 1)], 0.0
     )
@@ -204,17 +221,24 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
     def kernel(*refs):
         vt_ref, vf_ref, ve_ref = refs[0], refs[1], refs[2]
         vc_refs = refs[3 : 3 + g]
-        rays_ref, init_t_ref = refs[3 + g], refs[4 + g]
-        w_refs = refs[5 + g : 5 + 2 * g]
-        out_t_ref, out_slot_ref = refs[5 + 2 * g], refs[6 + 2 * g]
+        rays_ref, init_t_ref, init_slot_ref = (
+            refs[3 + g], refs[4 + g], refs[5 + g]
+        )
+        w_refs = refs[6 + g : 6 + 2 * g]
+        out_t_ref, out_slot_ref = refs[6 + 2 * g], refs[7 + 2 * g]
 
         v = pl.program_id(0)
         is_real = vt_ref[v] < n_real_tiles
 
+        # Seed BOTH carried outputs from the launch seeds.  Overflow
+        # relaunches seed with the previous launch's (best_t, best_slot);
+        # seeding the slot too keeps hits won in an earlier launch — redone
+        # visits fold with strict < against the carried best_t and so can
+        # never re-register that same (truncated) winner themselves.
         @pl.when((vf_ref[v] == 1) & is_real)
         def _():
             out_t_ref[0, 0, :] = init_t_ref[0, 0, :]
-            out_slot_ref[0, 0, :] = jnp.full((tile_r,), -1, jnp.int32)
+            out_slot_ref[0, 0, :] = init_slot_ref[0, 0, :]
 
         # Early-out: groups are near-to-far per tile, so once this group's
         # conservative entry exceeds every ray's current best the tile's
@@ -282,6 +306,7 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
         in_specs=[
             pl.BlockSpec((1, tile_r, 8), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1, 8, 6 * k), cluster_map(kk),
                          memory_space=pltpu.VMEM)
@@ -299,7 +324,8 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32),
         ],
         grid_spec=grid_spec,
-    )(vt, vf, ve, *vcs, rays8, init_t, *([w] * g))
+        interpret=_interpret(),
+    )(vt, vf, ve, *vcs, rays8, init_t, init_slot, *([w] * g))
     # Tiles with zero visits never ran: keep their seeds.
     touched_t = jnp.zeros((n_slots,), bool).at[vt].set(True, mode="drop")
     out_t = jnp.where(touched_t[:, None, None], out_t, init_t)
@@ -363,42 +389,30 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     best_slot = jnp.full((tiles + 1, 1, tile_r), -1, jnp.int32)
 
     g = VISIT_GROUP
-    vt, vcs, vf, ve, remaining = build_visit_groups(ids, entry, counts,
-                                                    budget, g)
+    vt, vcs, vf, ve, _ = build_visit_groups(ids, entry, counts, budget, g)
     best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
                                 wplanar, cs.k, tile_r, budget)
 
-    # Rare overflow: loop whole extra launches until every group is visited.
-    # The chunk scheduler fills tiles in group order, so after a launch each
-    # tile is fully done, untouched, or (one boundary tile) partial.  Each
-    # extra launch zeroes fully-done tiles and re-runs the rest from their
-    # running best: ``visit_first`` re-seeds from the carried best (exactly
-    # right) and redone visits fold idempotently into the running min.
-    g_counts = (counts + g - 1) // g
-
-    # Iteration cap: a single tile whose group count exceeded the budget
-    # could otherwise re-run forever (would need a cluster count > budget*g
-    # in ONE tile — ~8M+ triangles at the defaults — but don't hang if it
-    # ever happens).
-    max_extra = 64
+    # Rare overflow: extra launches walk the global group list in budget-
+    # sized windows [start, start+budget) — strictly new work each launch,
+    # so the loop terminates in ceil(total/budget) iterations.  A tile
+    # resumed mid-way re-seeds its block from the carried (best_t,
+    # best_slot) via visit_first (see build_visit_groups).
+    total = jnp.sum((counts + g - 1) // g)
 
     def cond(state):
-        return (state[0] > 0) & (state[3] < max_extra)
+        return state[0] < total
 
     def body(state):
-        remaining, bt, bs, it = state
-        done = jnp.cumsum(g_counts) <= (jnp.sum(g_counts) - remaining)
-        eff_counts = jnp.where(done, 0, counts)
-        vt2, vcs2, vf2, ve2, _ = build_visit_groups(ids, entry, eff_counts,
-                                                    budget, g)
+        start, bt, bs = state
+        vt2, vcs2, vf2, ve2, _ = build_visit_groups(ids, entry, counts,
+                                                    budget, g, start=start)
         bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar, cs.k,
                            tile_r, budget)
-        eff_groups = (eff_counts + g - 1) // g
-        rem2 = jnp.maximum(jnp.sum(eff_groups) - budget, 0)
-        return rem2, bt2, bs2, it + 1
+        return start + budget, bt2, bs2
 
-    remaining, best_t, best_slot, _ = jax.lax.while_loop(
-        cond, body, (remaining, best_t, best_slot, jnp.int32(0))
+    _, best_t, best_slot = jax.lax.while_loop(
+        cond, body, (jnp.int32(budget), best_t, best_slot)
     )
 
     best_t = best_t[:tiles].reshape(-1)[:n]

@@ -81,9 +81,12 @@ def _build_scene(lib, h) -> Scene:
         # Unknown type strings fall back to REFRACTIVE
         # (CRTSceneParser.cpp:325-343), which forces albedo white (:360-370).
         mtype = _MAT_TYPES.get(typ.value.decode(), MaterialType.REFRACTIVE)
-        mat = Material(type=mtype, smooth_shading=bool(smooth.value),
-                       ior=float(ior.value))
+        # ior applies only to REFRACTIVE materials (matches io/crtscene.py:
+        # the Python parser ignores an ior key on other types, and only
+        # refractive shading ever consumes it).
+        mat = Material(type=mtype, smooth_shading=bool(smooth.value))
         if mtype == MaterialType.REFRACTIVE:
+            mat.ior = float(ior.value)
             mat.albedo = np.ones(3, np.float32)
         else:
             mat.albedo = albedo.copy()

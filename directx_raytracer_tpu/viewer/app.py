@@ -238,7 +238,9 @@ def main(argv=None):
                     help="accumulation checkpoint path (.npz), saved per chunk")
     sp.add_argument("--resume", default=None, help="checkpoint to resume from")
     sp.add_argument("--checkpoint-every", type=int, default=16)
-    sp.add_argument("--gamma", action="store_true", default=True)
+    sp.add_argument("--gamma", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="gamma-2.2 encode the PNG (--no-gamma = linear)")
     sp.set_defaults(fn=cmd_pathtrace)
 
     sp = sub.add_parser("devices", help="list accelerator devices")

@@ -1,0 +1,90 @@
+"""The fused Pallas kernel under the interpreter — CPU-suite gate.
+
+tests_tpu/ runs the compiled kernel on real hardware but only manually;
+this module executes the SAME kernel code (packed t|slot fold, overflow
+relaunch seeding, parked-tile handling) through ``interpret=True`` on every
+CI run, so kernel-logic regressions fail the main suite instead of rotting
+until the next hardware session.  Scenes are kept tiny: the interpreter
+executes grid steps serially in Python.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from directx_raytracer_tpu import testscenes
+from directx_raytracer_tpu.bvh import build_bvh
+from directx_raytracer_tpu.bvh.pallas_intersect import (
+    TILE_R,
+    VISIT_GROUP,
+    bin_clusters,
+    build_visit_groups,
+    intersect_pallas,
+    occluded_pallas,
+)
+from directx_raytracer_tpu.models.scene import build_device_scene
+from directx_raytracer_tpu.ops.intersect import (
+    intersect_bruteforce,
+    occluded_bruteforce,
+)
+from directx_raytracer_tpu.ops.rays import generate_rays_tiled
+
+
+@pytest.fixture(scope="module")
+def scene_geo():
+    scene = testscenes.bench_scene(n_tris=3_000, width=96, height=48)
+    d = build_device_scene(scene)
+    return scene, d, build_bvh(d.geometry)
+
+
+@pytest.fixture(scope="module")
+def rays(scene_geo):
+    scene, _, _ = scene_geo
+    pos, rot = scene.camera.snapshot()
+    return generate_rays_tiled(pos, rot, 96, 48, 24, 32)
+
+
+def _groups(o, dd, bvh, budget):
+    tiles = o.shape[0] // TILE_R
+    ids, entry, counts = bin_clusters(
+        o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), bvh.clusters
+    )
+    *_, remaining = build_visit_groups(ids, entry, counts, budget, VISIT_GROUP)
+    return int(remaining)
+
+
+def test_closest_matches_bruteforce(scene_geo, rays):
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    ref = intersect_bruteforce(o, dd, d.geometry.woop)
+    got = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, refine=True,
+                           budget=128)
+    hm = np.asarray(got.tri >= 0) == np.asarray(ref.tri >= 0)
+    assert hm.mean() > 0.999
+    hits = np.asarray(ref.tri >= 0) & np.asarray(got.tri >= 0)
+    close = np.isclose(np.asarray(got.t)[hits], np.asarray(ref.t)[hits],
+                       rtol=1e-3)
+    assert close.mean() > 0.999
+
+
+def test_occlusion_matches_bruteforce(scene_geo, rays):
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    t_max = jnp.full((o.shape[0],), 25.0)
+    ref = occluded_bruteforce(o, dd, d.geometry.woop, t_max)
+    got = occluded_pallas(o, dd, bvh.clusters, bvh.wplanar, t_max, budget=128)
+    assert (np.asarray(got) == np.asarray(ref)).mean() > 0.999
+
+
+def test_visit_budget_overflow_keeps_hits(scene_geo, rays):
+    """Regression: relaunches seed out_slot from the carried best — hits won
+    in an earlier launch must survive redone visits (strict-< fold cannot
+    re-register the same truncated winner)."""
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    budget = 4
+    assert _groups(o, dd, bvh, budget) > budget, "overflow loop untested"
+    full = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, budget=128)
+    tiny = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, budget=budget)
+    np.testing.assert_array_equal(np.asarray(full.tri), np.asarray(tiny.tri))
+    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(tiny.t))

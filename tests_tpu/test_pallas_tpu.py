@@ -88,6 +88,22 @@ def test_occlusion_matches_bruteforce(scene_geo):
 def test_visit_budget_overflow_loop(scene_geo):
     scene, d, bvh = scene_geo
     o, dd = _rays(scene)
+    budget = 64
+
+    # The tiny budget must actually overflow, or the relaunch while_loop
+    # never runs and this test is vacuous: count the real visit groups.
+    from directx_raytracer_tpu.bvh.pallas_intersect import (
+        TILE_R, VISIT_GROUP, bin_clusters, build_visit_groups,
+    )
+
+    tiles = o.shape[0] // TILE_R
+    ids, entry, counts = bin_clusters(
+        o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), bvh.clusters
+    )
+    *_, remaining = build_visit_groups(ids, entry, counts, budget, VISIT_GROUP)
+    assert int(remaining) > budget, "budget too large: overflow loop untested"
+
     full = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar)
-    tiny = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, budget=2048)
+    tiny = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, budget=budget)
     np.testing.assert_array_equal(np.asarray(full.tri), np.asarray(tiny.tri))
+    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(tiny.t))
