@@ -218,6 +218,12 @@ VISIT_GROUP = 4  # clusters folded per grid step
 
 
 def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
+    # The group-local column rides the 11 low mantissa bits of packed t;
+    # sentinel 2047 marks "carried best wins", so g*k must stay below it.
+    if g * k > 2047:
+        raise ValueError(f"g*k = {g * k} exceeds the 11-bit column budget")
+    kshift = (k - 1).bit_length()  # k is a power of two
+
     def kernel(*refs):
         vt_ref, vf_ref, ve_ref = refs[0], refs[1], refs[2]
         vc_refs = refs[3 : 3 + g]
@@ -230,11 +236,8 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
         v = pl.program_id(0)
         is_real = vt_ref[v] < n_real_tiles
 
-        # Seed BOTH carried outputs from the launch seeds.  Overflow
-        # relaunches seed with the previous launch's (best_t, best_slot);
-        # seeding the slot too keeps hits won in an earlier launch — redone
-        # visits fold with strict < against the carried best_t and so can
-        # never re-register that same (truncated) winner themselves.
+        # Seed BOTH carried outputs from the launch seeds (overflow
+        # relaunches pass the previous launch's best as seeds).
         @pl.when((vf_ref[v] == 1) & is_real)
         def _():
             out_t_ref[0, 0, :] = init_t_ref[0, 0, :]
@@ -246,11 +249,27 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
         @pl.when(is_real & (ve_ref[v] <= jnp.max(out_t_ref[0, 0, :])))
         def _():
             rays = rays_ref[0]
-            col = jax.lax.broadcasted_iota(jnp.int32, (tile_r, k), 1)
             best_t = out_t_ref[0, 0, :]
             best_slot = out_slot_ref[0, 0, :]
+            # The per-pair VPU tail is the frame's dominant cost (~2.2 us
+            # per 768x128 cluster visit measured pre-golf), so every op
+            # counts:
+            # * validity is ONE compare via q = min(u, v, 1-u-v) >= 0,
+            # * "closer than carried best" is NOT tested per pair — the
+            #   carried best rides the packed lane reduce as a (t | 2047)
+            #   sentinel entry, moving that compare from per-pair to
+            #   per-ray (this also re-registers equal-t winners after an
+            #   overflow relaunch for free),
+            # * t keeps the EXACT divide: a ~2^-17 approximate reciprocal
+            #   was measured to leak 0.2% of hits at shared triangle edges
+            #   (u/v fuzz breaks watertightness; both edge triangles reject
+            #   and the ray falls through to a farther surface).
+            # Pack (t | column) into one sortable i32: for t > 0 the f32
+            # bit pattern is order-isomorphic to i32; the 11 low mantissa
+            # bits carry the group-local column (kk*k + lane).
+            m = (jax.lax.bitcast_convert_type(best_t, jnp.int32)
+                 & jnp.int32(~2047)) | 2047
             for kk in range(g):
-                c = vc_refs[kk][v]
                 mm = jnp.dot(rays, w_refs[kk][0],
                              preferred_element_type=jnp.float32)
                 opz = mm[:, 2 * k : 3 * k]
@@ -258,25 +277,25 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
                 tt = -opz / dpz
                 u = mm[:, 0 * k : 1 * k] + tt * mm[:, 3 * k : 4 * k]
                 vv = mm[:, 1 * k : 2 * k] + tt * mm[:, 4 * k : 5 * k]
-                valid = (
-                    (tt > t_min) & (tt < best_t[:, None])
-                    & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
-                )
-                # Pack (t | column) into one sortable i32 so a single lane
-                # reduce yields both the winning distance and its triangle:
-                # the 11 low mantissa bits carry the column (t > 0 keeps f32
-                # bit patterns order-isomorphic to i32; the truncation is
-                # ~1e-4 relative and hit_record re-derives exact t outside).
-                packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | col
-                packed = jnp.where(valid, packed, jnp.int32(2**31 - 2))
-                mp = jnp.min(packed, axis=1, keepdims=True)
-                m = pltpu.bitcast(mp & jnp.int32(~2047), jnp.float32)[:, 0]
-                closer = m < best_t
-                best_t = jnp.where(closer, m, best_t)
-                best_slot = jnp.where(closer, c * k + (mp[:, 0] & 2047),
-                                      best_slot)
-            out_t_ref[0, 0, :] = best_t
-            out_slot_ref[0, 0, :] = best_slot
+                q = jnp.minimum(jnp.minimum(u, vv), 1.0 - u - vv)
+                ok = (q >= 0.0) & (tt > t_min)  # NaN/inf t or bary => false
+                col = jax.lax.broadcasted_iota(jnp.int32, (tile_r, k), 1)
+                packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | (
+                    col + kk * k)
+                packed = jnp.where(ok, packed, jnp.int32(2**31 - 2))
+                m = jnp.minimum(m, jnp.min(packed, axis=1))
+            sel = m & 2047
+            # Decode the winning cluster id among the g candidates (per-ray
+            # selects are ~1/k of the per-pair tail — negligible).
+            c_sel = jnp.full((tile_r,), vc_refs[0][v], jnp.int32)
+            j = sel >> kshift
+            for kk in range(1, g):
+                c_sel = jnp.where(j == kk, vc_refs[kk][v], c_sel)
+            changed = sel < 2047
+            out_t_ref[0, 0, :] = jax.lax.bitcast_convert_type(
+                m & jnp.int32(~2047), jnp.float32)
+            out_slot_ref[0, 0, :] = jnp.where(
+                changed, c_sel * k + (sel & (k - 1)), best_slot)
 
     return kernel
 
@@ -355,9 +374,9 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
     return t, u, v
 
 
-@partial(jax.jit, static_argnames=("tile_r", "budget"))
+@partial(jax.jit, static_argnames=("tile_r", "budget", "g"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
-            budget: int, bounds=None):
+            budget: int, bounds=None, g: int = VISIT_GROUP):
     """(best_t, best_slot) over all rays (padded to whole tiles inside)."""
     n = origins.shape[0]
     pad = (-n) % tile_r
@@ -388,7 +407,6 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     )
     best_slot = jnp.full((tiles + 1, 1, tile_r), -1, jnp.int32)
 
-    g = VISIT_GROUP
     vt, vcs, vf, ve, _ = build_visit_groups(ids, entry, counts, budget, g)
     best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
                                 wplanar, cs.k, tile_r, budget)

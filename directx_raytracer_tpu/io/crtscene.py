@@ -126,6 +126,11 @@ def _parse_materials(doc: dict, scene: Scene) -> None:
                 mat.texture_name = albedo
         if "smooth_shading" in m:
             mat.smooth_shading = bool(m["smooth_shading"])
+        # Blinn-Phong extension keys (absent from reference scenes).
+        if "specular" in m:
+            mat.specular = float(m["specular"])
+        if "shininess" in m:
+            mat.shininess = float(m["shininess"])
         scene.materials.append(mat)
 
 
@@ -233,6 +238,9 @@ def dumps(scene: Scene) -> str:
             entry["albedo"] = [float(x) for x in m.albedo]
         if m.type == MaterialType.REFRACTIVE:
             entry["ior"] = float(m.ior)
+        if m.specular:
+            entry["specular"] = float(m.specular)
+            entry["shininess"] = float(m.shininess)
         doc["materials"].append(entry)
 
     if scene.textures:

@@ -30,6 +30,11 @@ class Material:
     texture_name: str = ""
     smooth_shading: bool = False
     ior: float = 1.0
+    # Blinn-Phong extension (BASELINE.json config 3; optional scene keys
+    # "specular"/"shininess" — the reference's 4-type material model carries
+    # neither, so 0.0 specular keeps exact reference semantics).
+    specular: float = 0.0
+    shininess: float = 32.0
 
     def is_texture(self) -> bool:
         """CRTMaterial::isTexture — texture iff the name is non-empty."""

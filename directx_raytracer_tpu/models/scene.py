@@ -152,7 +152,7 @@ class MaterialTable:
     ior: jax.Array  # (M,) f32
     smooth: jax.Array  # (M,) bool
     tex_id: jax.Array  # (M,) i32 — index into TextureTable, -1 = constant albedo
-    packed: jax.Array  # (M, 8) f32 — type albedo(3) ior smooth tex_id pad
+    packed: jax.Array  # (M, 12) f32 — type albedo(3) ior smooth tex_id specular shininess pad(3)
 
 
 _register(MaterialTable)
@@ -190,9 +190,13 @@ class DeviceScene:
     textures: TextureTable
     lights: LightTable
     background_color: jax.Array  # (3,) f32
+    # Static: any material carries a Blinn-Phong specular term.  Lets the
+    # Whitted shader skip the per-(light, ray) pow() entirely for reference
+    # scenes (whose 4-type material model has no specular).
+    has_specular: bool = False
 
 
-_register(DeviceScene)
+_register(DeviceScene, meta=("has_specular",))
 
 
 # ---------------------------------------------------------------------------
@@ -366,20 +370,26 @@ def build_material_table(scene: Scene) -> MaterialTable:
     ior = np.ones(m, np.float32)
     smooth = np.zeros(m, bool)
     tex_id = np.full(m, -1, np.int32)
+    specular = np.zeros(m, np.float32)
+    shininess = np.full(m, 32.0, np.float32)
     tex_index = {t.name: i for i, t in enumerate(scene.textures)}
     for i, mat in enumerate(mats):
         mtype[i] = int(mat.type)
         albedo[i] = mat.albedo
         ior[i] = mat.ior
         smooth[i] = mat.smooth_shading
+        specular[i] = getattr(mat, "specular", 0.0)
+        shininess[i] = getattr(mat, "shininess", 32.0)
         if mat.is_texture():
             tex_id[i] = tex_index.get(mat.texture_name, -1)
-    packed = np.zeros((m, 8), np.float32)
+    packed = np.zeros((m, 12), np.float32)
     packed[:, 0] = mtype.astype(np.float32)
     packed[:, 1:4] = albedo
     packed[:, 4] = ior
     packed[:, 5] = smooth.astype(np.float32)
     packed[:, 6] = tex_id.astype(np.float32)
+    packed[:, 7] = specular
+    packed[:, 8] = shininess
     return MaterialTable(mtype=mtype, albedo=albedo, ior=ior, smooth=smooth,
                          tex_id=tex_id, packed=packed)
 
@@ -458,4 +468,7 @@ def build_device_scene(scene: Scene, base_dir: str = ".", tri_pad: int = TRI_PAD
         textures=build_texture_table(scene, base_dir),
         lights=build_light_table(scene),
         background_color=np.asarray(scene.settings.background_color, np.float32),
+        has_specular=any(
+            getattr(m, "specular", 0.0) > 0.0 for m in scene.materials
+        ),
     )

@@ -75,7 +75,7 @@ def get_library():
         lib.crt_material.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             c_float_p, c_int_p, c_float_p, ctypes.c_char_p, ctypes.c_int,
-            c_int_p,
+            c_int_p, c_float_p,
         ]
         lib.crt_num_textures.restype = ctypes.c_int
         lib.crt_num_textures.argtypes = [ctypes.c_void_p]

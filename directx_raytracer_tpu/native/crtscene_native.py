@@ -75,9 +75,10 @@ def _build_scene(lib, h) -> Scene:
         smooth = ctypes.c_int()
         ior = ctypes.c_float()
         has_tex = ctypes.c_int()
+        spec2 = np.zeros(2, np.float32)  # specular, shininess
         lib.crt_material(h, i, typ, 64, build.fptr(albedo),
                          ctypes.byref(smooth), ctypes.byref(ior), tex, 128,
-                         ctypes.byref(has_tex))
+                         ctypes.byref(has_tex), build.fptr(spec2))
         # Unknown type strings fall back to REFRACTIVE
         # (CRTSceneParser.cpp:325-343), which forces albedo white (:360-370).
         mtype = _MAT_TYPES.get(typ.value.decode(), MaterialType.REFRACTIVE)
@@ -92,6 +93,8 @@ def _build_scene(lib, h) -> Scene:
             mat.albedo = albedo.copy()
         if has_tex.value:
             mat.texture_name = tex.value.decode()
+        mat.specular = float(spec2[0])
+        mat.shininess = float(spec2[1])
         scene.materials.append(mat)
 
     for i in range(lib.crt_num_textures(h)):

@@ -276,7 +276,7 @@ int crt_num_materials(void* h) {
 // CRTSceneParser.cpp:380-384) -> returned in texname with has_tex=1.
 void crt_material(void* h, int i, char* type, int typecap, float* albedo3,
                   int* smooth, float* ior, char* texname, int texcap,
-                  int* has_tex) {
+                  int* has_tex, float* spec2) {
   const Value* m = static_cast<Doc*>(h)->root.get("materials");
   const Value* e = m->arr[i].get();
   const Value* t = e->get("type");
@@ -295,6 +295,9 @@ void crt_material(void* h, int i, char* type, int typecap, float* albedo3,
   const Value* s = e->get("smooth_shading");
   *smooth = (s && s->kind == Value::BOOL && s->boolean) ? 1 : 0;
   *ior = (float)numOr(e->get("ior"), 1.0);
+  // Blinn-Phong extension keys (mirrors io/crtscene.py).
+  spec2[0] = (float)numOr(e->get("specular"), 0.0);
+  spec2[1] = (float)numOr(e->get("shininess"), 32.0);
 }
 
 int crt_num_textures(void* h) {

@@ -105,12 +105,14 @@ def hit_attributes(dscene: DeviceScene, origins, dirs, hit, mat_id):
     point = origins + dirs * hit.t[:, None]
     n_smooth = normalize(w * n0 + u * n1 + v * n2, eps=1e-12)
 
-    mrec = mats.packed[mat_id]  # (N, 8)
+    mrec = mats.packed[mat_id]  # (N, 12)
     mtype = mrec[:, 0].astype(jnp.int32)
     albedo = mrec[:, 1:4]
     ior = mrec[:, 4]
     smooth = mrec[:, 5] > 0.5
     tex_id = mrec[:, 6].astype(jnp.int32)
+    specular = mrec[:, 7]
+    shininess = mrec[:, 8]
     normal = jnp.where(smooth[:, None], n_smooth, n_geom)
 
     uv = w * uv0 + u * uv1 + v * uv2
@@ -125,11 +127,15 @@ def hit_attributes(dscene: DeviceScene, origins, dirs, hit, mat_id):
         "albedo": albedo,
         "mtype": mtype,
         "ior": ior,
+        "specular": specular,
+        "shininess": shininess,
     }
 
 
-def direct_lighting(points, normals, lights, occluder_fn, mask=None):
-    """Lambert-weighted point-light sum with shadow rays.
+def direct_lighting(points, normals, lights, occluder_fn, mask=None,
+                    view=None, shininess=None):
+    """Lambert-weighted point-light sum with shadow rays (+ optional
+    Blinn-Phong specular, BASELINE.json config 3).
 
     All L lights' shadow rays go to the occluder as ONE (L*N,) batch: each
     occluder call pays fixed binning/launch costs, and interleaving the
@@ -144,12 +150,20 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None):
       mask: optional (N,) bool — rays that actually need shadows; the rest
         are parked (origin 1e30, strictly-positive direction) so their
         tiles bin to zero BVH work.
-    Returns (N, 1) un-albedo'd irradiance-style factor (broadcast to RGB).
+      view: optional (N, 3) incident ray directions (pointing AT the
+        surface).  When given, also returns the Blinn-Phong specular sum
+        ``Σ_l intensity/(4πr²) · max(0, n·h)^shininess`` with
+        h = normalize(l - view), shadow-gated like the diffuse term.
+      shininess: (N,) f32 Blinn-Phong exponent (required with ``view``).
+
+    Returns (N, 1) un-albedo'd irradiance factor, or a tuple
+    ((N, 1) diffuse, (N, 1) specular) when ``view`` is given.
     """
     n = points.shape[0]
     n_lights = lights.n_lights
     if n_lights == 0:
-        return jnp.zeros((n, 1), jnp.float32)
+        zero = jnp.zeros((n, 1), jnp.float32)
+        return (zero, zero) if view is not None else zero
     n_l = min(n_lights, lights.position.shape[0])
     lpos = lights.position[:n_l]  # (L, 3)
     linten = lights.intensity[:n_l]  # (L,)
@@ -158,7 +172,14 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None):
     dist = jnp.linalg.norm(to_light, axis=-1)  # (L, N)
     ldir = to_light / jnp.maximum(dist, 1e-12)[..., None]
     cos = jnp.maximum(jnp.einsum("ni,lni->ln", normals, ldir), 0.0)
-    contrib = linten[:, None] / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2) * cos
+    irrad = linten[:, None] / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2)  # (L, N)
+    contrib = irrad * cos
+    spec = None
+    if view is not None:
+        half = normalize(ldir - view[None, :, :], eps=1e-12)  # (L, N, 3)
+        ndoth = jnp.maximum(jnp.einsum("ni,lni->ln", normals, half), 0.0)
+        # Gate on the diffuse cosine so back-facing lights never highlight.
+        spec = irrad * jnp.where(cos > 0.0, ndoth ** shininess[None, :], 0.0)
 
     if occluder_fn is not None:
         shadow_o = points + normals * SHADOW_BIAS  # (N, 3)
@@ -182,9 +203,16 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None):
             origins, ldir.reshape(-1, 3), t_shadow.reshape(-1)
         ).reshape(n_l, n)
         contrib = jnp.where(blocked, 0.0, contrib)
+        if spec is not None:
+            spec = jnp.where(blocked, 0.0, spec)
     if mask is not None:
         contrib = jnp.where(mask[None, :], contrib, 0.0)
-    return jnp.sum(contrib, axis=0)[:, None]
+        if spec is not None:
+            spec = jnp.where(mask[None, :], spec, 0.0)
+    diffuse = jnp.sum(contrib, axis=0)[:, None]
+    if spec is None:
+        return diffuse
+    return diffuse, jnp.sum(spec, axis=0)[:, None]
 
 
 def reflect(d, n):

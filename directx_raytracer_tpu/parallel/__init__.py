@@ -1,3 +1,4 @@
+from .multihost import global_mesh_shape, init_distributed, make_global_mesh
 from .sharding import (
     make_mesh,
     pathtrace_multichip,
@@ -10,4 +11,7 @@ __all__ = [
     "render_whitted_multichip",
     "pathtrace_multichip",
     "untile_multichip",
+    "init_distributed",
+    "global_mesh_shape",
+    "make_global_mesh",
 ]

@@ -62,37 +62,44 @@ def render_whitted_multichip(
 ):
     """Whitted frame sharded over a (tiles, samples) mesh.
 
-    Requirements: height % n_tiles == 0 and spp % n_samples == 0 (sample
-    offsets are split evenly across the 'samples' axis).
+    Neither axis needs to divide evenly: the row-stripe axis pads to
+    ceil(height / n_tiles) rows per chip (the surplus rows are rendered
+    below the frustum and cropped — 1080 rows on a 16-chip tile axis just
+    works), and the sample axis pads the offset table with zero-weight
+    dummy samples (traced per-offset weights, so padding contributes
+    nothing).
 
     Returns ((H, W, 3) image, stats) with the image laid out across chips by
     row stripe (replicated over 'samples' after the psum).
     """
     n_tiles = mesh.shape["tiles"]
     n_samples = mesh.shape["samples"]
-    if height % n_tiles:
-        raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
+    rows = -(-height // n_tiles)  # ceil: last stripe may render cropped rows
     offs = np.asarray(spp_offsets(spp), np.float32)
-    if len(offs) % n_samples:
-        raise ValueError(f"spp {len(offs)} not divisible by sample axis {n_samples}")
-    rows = height // n_tiles
     weight = 1.0 / len(offs)
+    per_shard = -(-len(offs) // n_samples)
+    o_pad = per_shard * n_samples - len(offs)
+    offw = np.concatenate([np.ones(len(offs), np.float32),
+                           np.zeros(o_pad, np.float32)])
+    if o_pad:
+        offs = np.concatenate(
+            [offs, np.full((o_pad, 2), 0.5, np.float32)], axis=0)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("samples")),
+        in_specs=(P(), P(), P(), P("samples"), P("samples")),
         out_specs=(P("tiles"), P()),
         check_vma=False,
     )
-    def shard_fn(scene, pos, rot, offsets):
+    def shard_fn(scene, pos, rot, offsets, offset_weights):
         t = jax.lax.axis_index("tiles")
         img, stats = render_tile(
             scene, pos, rot, width, height,
             offsets=offsets, weight=weight,
             row_start=t * rows, rows=rows, max_depth=max_depth,
             intersect_fn=intersect_fn, occluder_factory=occluder_factory,
-            queue_factor=queue_factor,
+            queue_factor=queue_factor, offset_weights=offset_weights,
         )
         # Sample-axis accumulation rides ICI; stats aggregate over everything.
         img = jax.lax.psum(img, "samples")
@@ -100,8 +107,10 @@ def render_whitted_multichip(
         return img, stats
 
     # Each sample shard gets its contiguous slice of the offset table.
-    return shard_fn(dscene, jnp.asarray(cam_position, jnp.float32),
-                    jnp.asarray(cam_rotation, jnp.float32), jnp.asarray(offs))
+    img, stats = shard_fn(dscene, jnp.asarray(cam_position, jnp.float32),
+                          jnp.asarray(cam_rotation, jnp.float32),
+                          jnp.asarray(offs), jnp.asarray(offw))
+    return img[:height], stats
 
 
 @partial(
@@ -135,12 +144,14 @@ def pathtrace_multichip(
 
     n_tiles = mesh.shape["tiles"]
     n_samples = mesh.shape["samples"]
-    if height % n_tiles:
-        raise ValueError(f"height {height} not divisible by tile axis {n_tiles}")
-    if spp % n_samples:
-        raise ValueError(f"spp {spp} not divisible by sample axis {n_samples}")
-    rows = height // n_tiles
-    local_spp = spp // n_samples
+    # Neither axis needs to divide: rows pad to a ceil-stripe (cropped by
+    # untile_multichip's caller), and spp rounds UP to a multiple of
+    # n_samples — the returned sum is rescaled by spp/effective so callers
+    # dividing by ``spp`` still get the unbiased mean over all samples
+    # actually traced.
+    rows = -(-height // n_tiles)
+    local_spp = -(-spp // n_samples)
+    effective_spp = local_spp * n_samples
 
     @partial(
         jax.shard_map,
@@ -161,20 +172,24 @@ def pathtrace_multichip(
                 row_start=t * rows, rows=rows, max_depth=max_depth,
                 intersect_fn=intersect_fn, occluder_factory=occluder_factory,
             )
-        return jax.lax.psum(acc, "samples")
+        return jax.lax.psum(acc, "samples") * (spp / effective_spp)
 
     return shard_fn(dscene, jnp.asarray(cam_position, jnp.float32),
                     jnp.asarray(cam_rotation, jnp.float32), key)
 
 
 def untile_multichip(flat, width: int, height: int, n_tiles: int):
-    """Per-stripe tile-major (H*W, 3) -> raster (H, W, 3)."""
+    """Per-stripe tile-major (H*W, 3) -> raster (H, W, 3).
+
+    Stripes are ceil(height / n_tiles) rows each (matching the padded
+    row-stripe sharding); surplus rows below the frustum are cropped.
+    """
     from ..ops.rays import pick_tile
     from ..render.debug import untile
 
-    rows = height // n_tiles
+    rows = -(-height // n_tiles)
     tile = pick_tile(rows, width)
     stripes = flat.reshape(n_tiles, rows * width, 3)
     return jnp.concatenate(
         [untile(s, width, rows, tile) for s in stripes], axis=0
-    )
+    )[:height]

@@ -166,11 +166,19 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     contrib = jnp.where(miss_mask[:, None], thpt * dscene.background_color[None, :], 0.0)
 
     diffuse_mask = hit_mask & is_diffuse
-    light = direct_lighting(attrs["point"], attrs["normal"], dscene.lights,
-                            occluder_fn, mask=diffuse_mask)
-    contrib = contrib + jnp.where(
-        diffuse_mask[:, None], thpt * attrs["albedo"] * light, 0.0
-    )
+    if dscene.has_specular:  # static: pow() skipped for reference scenes
+        light, spec_light = direct_lighting(
+            attrs["point"], attrs["normal"], dscene.lights, occluder_fn,
+            mask=diffuse_mask, view=state["dirs"],
+            shininess=attrs["shininess"],
+        )
+        shaded = (attrs["albedo"] * light
+                  + attrs["specular"][:, None] * spec_light)
+    else:
+        light = direct_lighting(attrs["point"], attrs["normal"],
+                                dscene.lights, occluder_fn, mask=diffuse_mask)
+        shaded = attrs["albedo"] * light
+    contrib = contrib + jnp.where(diffuse_mask[:, None], thpt * shaded, 0.0)
     contrib = contrib + jnp.where(
         (hit_mask & is_constant)[:, None], thpt * attrs["albedo"], 0.0
     )
@@ -253,6 +261,7 @@ def render_tile(
     intersect_fn=None,
     occluder_factory=None,
     queue_factor: int = 2,
+    offset_weights=None,
 ):
     """Core tile renderer (trace-level; callers jit / shard_map it).
 
@@ -264,6 +273,9 @@ def render_tile(
       weight: per-sample framebuffer weight, normally 1 / total_spp (total
         across all shards, not just this tile's K).
       row_start: traced or static first row of the tile.
+      offset_weights: optional (K,) f32 per-offset multipliers on ``weight``
+        (may be traced).  Used by the multichip path to pad the sample axis:
+        a padding offset carries weight 0 and contributes nothing.
 
     Returns (rows, W, 3) image + stats {alive, dropped} per pass.
     """
@@ -288,6 +300,11 @@ def render_tile(
             row_start, rows,
         )
 
+    if offset_weights is None:
+        offset_weights = jnp.ones((offsets.shape[0],), jnp.float32)
+    else:
+        offset_weights = jnp.asarray(offset_weights, jnp.float32)
+
     framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
     stats = []
     for k in range(offsets.shape[0]):
@@ -304,7 +321,8 @@ def render_tile(
         state = {
             "origins": origins,
             "dirs": dirs,
-            "throughput": jnp.full((n_pix, 3), weight, jnp.float32),
+            "throughput": jnp.full((n_pix, 3), weight, jnp.float32)
+            * offset_weights[k],
             "pixel": jnp.arange(n_pix, dtype=jnp.int32),
             "active": jnp.ones((n_pix,), bool),
         }
@@ -328,13 +346,31 @@ def render_tile(
 
 
 def spp_offsets(spp: int):
-    """Subpixel offsets for an spp count: 1 = reference pixel center, 4 =
-    rotated-grid AA."""
+    """Subpixel offsets for an arbitrary spp count.
+
+    1 = the reference's pixel center (hlsl:35-36), 4 = rotated-grid AA
+    (kept bit-identical to round 1's goldens), any other N = a deterministic
+    Hammersley set (stratified (i+0.5)/N x van-der-Corput base 2) — no RNG,
+    so Whitted AA stays reproducible across runs and chips.
+    """
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")
     if spp == 1:
         return ((0.5, 0.5),)
     if spp == 4:
         return RGSS_OFFSETS
-    raise ValueError(f"spp must be 1 or 4, got {spp}")
+
+    def _vdc(i: int) -> float:  # van der Corput radical inverse, base 2
+        v, f = 0.0, 0.5
+        while i:
+            if i & 1:
+                v += f
+            f *= 0.5
+            i >>= 1
+        return v
+
+    half = 0.5 / spp
+    return tuple(((i + 0.5) / spp, _vdc(i) + half) for i in range(spp))
 
 
 @partial(

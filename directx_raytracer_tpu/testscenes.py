@@ -195,3 +195,45 @@ def bench_scene(n_tris: int = 100_000, width=1920, height=1080, seed: int = 7) -
                        ((0, 9, 7.5), 500.0), ((0, 9, -7.5), 500.0)]:
         scene.lights.append(Light(position=np.array(pos, np.float32), intensity=inten))
     return scene
+
+
+def const_color(width=800, height=800) -> Scene:
+    """Named bring-up config for BASELINE config 1's "flat ConstColor
+    shading" — the reference's legacy raster pipeline (ConstColor.hlsl,
+    compiled but never initialized: DXRTRenderer.h:218-223).  A quad + a
+    triangle, all CONSTANT materials: the Whitted renderer shades them flat
+    (albedo, no lights, no bounces), so the render is an exact albedo
+    fill — the first thing to bring up on new hardware.
+
+    Use:  python -m directx_raytracer_tpu.viewer render --builtin const_color
+    """
+    scene = Scene()
+    scene.settings = SceneSettings(
+        background_color=np.array([0.0, 0.0, 0.25], np.float32),
+        image_width=width,
+        image_height=height,
+    )
+    scene.camera = Camera(position=(0.0, 0.0, 3.0))
+    # full-frame backdrop quad
+    scene.meshes.append(
+        _mesh(
+            [[-4, -4, -1], [4, -4, -1], [-4, 4, -1], [4, 4, -1]],
+            [0, 1, 2, 2, 1, 3],
+            material_index=0,
+        )
+    )
+    # foreground triangle
+    scene.meshes.append(
+        _mesh(
+            [[-0.8, -0.6, 0.0], [0.8, -0.6, 0.0], [0.0, 0.9, 0.0]],
+            [0, 1, 2],
+            material_index=1,
+        )
+    )
+    scene.materials += [
+        Material(type=MaterialType.CONSTANT,
+                 albedo=np.array([0.1, 0.35, 0.1], np.float32)),
+        Material(type=MaterialType.CONSTANT,
+                 albedo=np.array([1.0, 0.45, 0.1], np.float32)),
+    ]
+    return scene

@@ -39,6 +39,8 @@ def _compare_scenes(a, b):
         assert ma.smooth_shading == mb.smooth_shading
         assert ma.ior == pytest.approx(mb.ior, rel=1e-6)  # c_float rounding
         assert ma.texture_name == mb.texture_name
+        assert ma.specular == pytest.approx(mb.specular, rel=1e-6)
+        assert ma.shininess == pytest.approx(mb.shininess, rel=1e-6)
 
     assert len(a.textures) == len(b.textures)
     for ta, tb in zip(a.textures, b.textures):
@@ -75,7 +77,8 @@ def test_synthetic_scene_parity(tmp_path):
         "lights": [{"intensity": 500, "position": [0, 5, 0]},
                    {"intensity": 40.5, "position": [-1, 2, 3.5]}],
         "materials": [
-            {"type": "diffuse", "albedo": [0.9, 0.1, 0.2], "smooth_shading": True},
+            {"type": "diffuse", "albedo": [0.9, 0.1, 0.2], "smooth_shading": True,
+             "specular": 0.45, "shininess": 12.5},
             {"type": "reflective", "albedo": [0.8, 0.8, 0.8], "smooth_shading": False},
             {"type": "refractive", "ior": 1.51, "smooth_shading": True},
             {"type": "constant", "albedo": "checkers", "smooth_shading": False},

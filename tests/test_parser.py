@@ -150,3 +150,20 @@ def test_scene_writer_roundtrip(dragon_path):
     for sa, sb in zip(a.meshes, b.meshes):
         np.testing.assert_allclose(sb.vertices, sa.vertices)
         np.testing.assert_array_equal(sb.indices, sa.indices)
+
+
+def test_blinn_phong_extension_keys_roundtrip():
+    scene = crtscene.loads(
+        '{"materials": [{"type": "diffuse", "albedo": [0.5, 0.5, 0.5], '
+        '"smooth_shading": true, "specular": 0.6, "shininess": 24}]}'
+    )
+    m = scene.materials[0]
+    assert m.specular == pytest.approx(0.6)
+    assert m.shininess == pytest.approx(24.0)
+    # writer emits them, re-parse agrees
+    b = crtscene.loads(crtscene.dumps(scene))
+    assert b.materials[0].specular == pytest.approx(0.6)
+    assert b.materials[0].shininess == pytest.approx(24.0)
+    # absent keys keep reference defaults (no specular term)
+    plain = crtscene.loads('{"materials": [{"type": "diffuse"}]}')
+    assert plain.materials[0].specular == 0.0

@@ -47,13 +47,49 @@ def test_tile_x_sample_sharding_matches_single_chip(cornell):
     np.testing.assert_allclose(np.asarray(img), ref, atol=1e-5)
 
 
-def test_indivisible_height_raises(cornell):
+def test_indivisible_height_pads(cornell):
+    """47 rows on an 8-chip tile axis: stripes pad to ceil(47/8)=6 rows and
+    the surplus below the frustum is cropped (VERDICT r1 weak #6 — 1080 is
+    not divisible by 16/32-chip meshes)."""
     scene, d = cornell
     mesh = make_mesh(n_tiles=8)
-    with pytest.raises(ValueError, match="not divisible"):
-        render_whitted_multichip(
-            d, scene.camera.position, scene.camera.rotation, 64, 47, mesh
-        )
+    img, _ = render_whitted_multichip(
+        d, scene.camera.position, scene.camera.rotation, 64, 47, mesh,
+        max_depth=2,
+    )
+    img2, _ = render_whitted(
+        d, scene.camera.position, scene.camera.rotation, 64, 47, max_depth=2
+    )
+    assert img.shape == (47, 64, 3)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=1e-5)
+
+
+def test_indivisible_spp_pads(cornell):
+    """spp=3 on a 2-chip sample axis: the offset table pads with a
+    zero-weight dummy sample; the result matches single-chip spp=3."""
+    scene, d = cornell
+    mesh = make_mesh(n_tiles=4, n_samples=2)
+    img, _ = render_whitted_multichip(
+        d, scene.camera.position, scene.camera.rotation, 64, 48, mesh,
+        max_depth=2, spp=3,
+    )
+    ref = _single_chip(scene, d, max_depth=2, spp=3)
+    # psum order differs from the sequential sum: tolerance covers f32
+    # accumulation noise only.
+    np.testing.assert_allclose(np.asarray(img), ref, atol=1e-4)
+
+
+def test_spp16_sample_axis_8(cornell):
+    """Arbitrary spp (Hammersley set) scales the sample mesh axis past 4
+    (VERDICT r1 next-step #5: spp=16 renders, sharding with n_samples=8)."""
+    scene, d = cornell
+    mesh = make_mesh(n_tiles=1, n_samples=8)
+    img, stats = render_whitted_multichip(
+        d, scene.camera.position, scene.camera.rotation, 64, 48, mesh,
+        max_depth=2, spp=16,
+    )
+    ref = _single_chip(scene, d, max_depth=2, spp=16)
+    np.testing.assert_allclose(np.asarray(img), ref, atol=1e-5)
 
 
 def test_pathtrace_multichip_converges_like_single_chip():
@@ -84,3 +120,30 @@ def test_pathtrace_multichip_converges_like_single_chip():
     rel = np.abs(a - b).mean(axis=-1) / (0.5 + b.mean(axis=-1))
     assert rel.max() < 0.2
     assert abs(img_mc.mean() - img_sc.mean()) < 0.03
+
+
+class TestMultihost:
+    """DCN-tier hooks (SURVEY.md §5 distributed row) — mesh logic only;
+    no cluster on this rig."""
+
+    def test_global_mesh_shape(self):
+        from directx_raytracer_tpu.parallel import global_mesh_shape
+
+        assert global_mesh_shape(8, 1) == (8, 1)
+        assert global_mesh_shape(8, 4) == (2, 4)
+        assert global_mesh_shape(8, 3) == (4, 2)  # clamped to a divisor
+        assert global_mesh_shape(1, 4) == (1, 1)
+        with pytest.raises(ValueError):
+            global_mesh_shape(0)
+
+    def test_make_global_mesh_local(self):
+        from directx_raytracer_tpu.parallel import make_global_mesh
+
+        mesh = make_global_mesh(n_samples=2)
+        assert mesh.axis_names == ("tiles", "samples")
+        assert mesh.shape["tiles"] * mesh.shape["samples"] == jax.device_count()
+
+    def test_single_process_init_noop(self):
+        from directx_raytracer_tpu.parallel import init_distributed
+
+        assert init_distributed() == 1

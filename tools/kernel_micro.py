@@ -1,0 +1,109 @@
+"""Micro-experiments on the fused kernel: machinery vs compute split.
+
+Run on the TPU from the repo root:  python -m tools.kernel_micro
+
+E_all : every scheduled step computes (entry forced to -inf)
+E_none: every scheduled step skips   (entry forced to +inf)
+E_real: production entries (early-out as deployed)
+The difference E_all - E_none is pure compute (matmul + VPU tail); E_none is
+step machinery + DMA; E_real shows how much the early-out actually saves.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from directx_raytracer_tpu import testscenes
+from directx_raytracer_tpu.bvh.clustered import build_clusters
+from directx_raytracer_tpu.bvh.pallas_intersect import (
+    TILE_R, VISIT_GROUP, bin_clusters, build_visit_groups, planar_mats,
+    _launch,
+)
+from directx_raytracer_tpu.models.scene import build_device_scene
+from directx_raytracer_tpu.ops.rays import generate_rays_tiled, tile_frustum_bounds
+
+WIDTH, HEIGHT = 1920, 1080
+BUDGET = 16384
+
+
+def timed(fn, n=5, label=""):
+    @jax.jit
+    def run(eps):
+        def body(i, carry):
+            e, acc = carry
+            out = fn(eps=e)
+            v = jnp.asarray(out).reshape(-1)[0].astype(jnp.float32)
+            return jnp.where(jnp.isfinite(v), v, 0.0) * 0.0, acc + v
+        _, acc = jax.lax.fori_loop(0, n, body, (eps, jnp.float32(0)))
+        return acc
+
+    float(run(jnp.float32(0)))
+    t0 = time.perf_counter()
+    float(run(jnp.float32(0)))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{label:40s} {dt*1e3:9.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    scene = testscenes.bench_scene(n_tris=100_000, width=WIDTH, height=HEIGHT)
+    dscene = build_device_scene(scene)
+    pos, rot = scene.camera.snapshot()
+    pos = jnp.asarray(pos, jnp.float32)
+    rot = jnp.asarray(rot, jnp.float32)
+    geo = dscene.geometry
+
+    cs = build_clusters(geo, k=128)
+    w = planar_mats(cs)
+    o, d = generate_rays_tiled(pos, rot, WIDTH, HEIGHT, 24, 32)
+    bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, 24, 32)
+    n = o.shape[0]
+    tiles = n // TILE_R
+    g = VISIT_GROUP
+
+    ids, entry, counts = jax.jit(bin_clusters)(
+        o.reshape(tiles, TILE_R, 3), d.reshape(tiles, TILE_R, 3), cs,
+        bounds=bounds)
+    vt, vcs, vf, ve, rem = jax.jit(build_visit_groups, static_argnames=(
+        "budget", "g"))(ids, entry, counts, BUDGET, g)
+    vt, vf, ve = map(jnp.asarray, (vt, vf, ve))
+    print(f"scheduled groups: {int(np.asarray(counts).sum())} clusters "
+          f"/ {int(((np.asarray(counts)+g-1)//g).sum())} groups "
+          f"(budget {BUDGET})", flush=True)
+
+    rays8 = jnp.concatenate(
+        [o, jnp.ones((n, 1), jnp.float32), d, jnp.zeros((n, 1), jnp.float32)],
+        axis=1).reshape(tiles, TILE_R, 8)
+    rays8 = jnp.concatenate([rays8, jnp.zeros((1, TILE_R, 8), jnp.float32)])
+    init_t = jnp.concatenate([
+        jnp.full((tiles, 1, TILE_R), 10000.0, jnp.float32),
+        jnp.zeros((1, 1, TILE_R), jnp.float32)])
+    init_slot = jnp.full((tiles + 1, 1, TILE_R), -1, jnp.int32)
+
+    def launch(eps, ve_mode):
+        if ve_mode == "all":
+            vee = jnp.full_like(ve, -1e30)
+        elif ve_mode == "none":
+            vee = jnp.full_like(ve, 1e30)
+        else:
+            vee = ve
+        bt, bs = _launch(rays8 + eps, init_t, init_slot, vt, vcs, vf, vee, w,
+                         128, TILE_R, BUDGET)
+        return bt[0, 0]
+
+    t_real = timed(lambda eps: launch(eps, "real"), label="E_real (production early-out)")
+    t_all = timed(lambda eps: launch(eps, "all"), label="E_all  (every step computes)")
+    t_none = timed(lambda eps: launch(eps, "none"), label="E_none (every step skips)")
+    n_groups = int(((np.asarray(counts) + g - 1) // g).sum())
+    print(f"machinery/step      = {t_none/BUDGET*1e6:8.3f} us")
+    print(f"compute/step (real groups, upper) = {(t_all-t_none)/n_groups*1e6:8.3f} us")
+    print(f"early-out saves     = {(t_all-t_real)/max(t_all,1e-9)*100:6.1f}% of all-compute")
+
+
+if __name__ == "__main__":
+    main()
