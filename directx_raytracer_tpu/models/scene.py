@@ -104,15 +104,23 @@ class Geometry:
     # Wide packed per-triangle records: TPU gathers cost per ROW, not per
     # byte (a (2M,3) gather runs at <1 GB/s), so everything the shading path
     # needs per hit is packed into two wide rows fetched by ONE gather each.
-    packed_a: jax.Array  # (T, 16) f32 — v0(3) e1(3) e2(3) local mesh mat pad(4); ids bitcast i32
-    packed_b: jax.Array  # (T, 24) f32 — n0(3) n1(3) n2(3) fn(3) uv0.xy uv1.xy uv2.xy pad(6)
+    # ONE fused record row per triangle: gathers are row-count-bound on TPU
+    # (measured ~76 Mrows/s at ANY width 1..32), so everything the shading
+    # path needs per hit — geometry, vertex attributes, AND the material —
+    # lives in a single (T, 40) row fetched by ONE gather per bounce.
+    # Layout: v0(3) e1(3) e2(3) local mesh mat | n0(3) n1(3) n2(3) fn(3)
+    # uv0.xy uv1.xy uv2.xy | mtype malbedo(3) ior smooth tex_id specular
+    # shininess | pad; ids bitcast i32.
+    packed: jax.Array  # (T, 40) f32
     scene_lo: jax.Array  # (3,) f32 — scene AABB (coherence sort of bounced rays)
     scene_hi: jax.Array  # (3,) f32
-    n_tris: int  # true (unpadded) triangle count
-    morton_sorted: bool  # triangles stored in Morton order (BVH slot == id)
+    n_tris: int  # DEVICE triangle slots (treelet leaves x CLUSTER_K, incl.
+    #              interleaved guaranteed-miss padding; BVH slot == id)
+    n_real_tris: int  # true parsed triangle count (stats / tests)
+    morton_sorted: bool  # triangles stored in BVH cluster order (slot == id)
 
 
-_register(Geometry, meta=("n_tris", "morton_sorted"))
+_register(Geometry, meta=("n_tris", "n_real_tris", "morton_sorted"))
 
 
 def _np_spread_bits_10(x):
@@ -194,9 +202,13 @@ class DeviceScene:
     # Whitted shader skip the per-(light, ray) pow() entirely for reference
     # scenes (whose 4-type material model has no specular).
     has_specular: bool = False
+    # Static: the scene declares textures.  Texture-free scenes skip the
+    # per-ray texture-table gather + atlas sample entirely (row gathers are
+    # the costliest op class on TPU).
+    has_textures: bool = False
 
 
-_register(DeviceScene, meta=("has_specular",))
+_register(DeviceScene, meta=("has_specular", "has_textures"))
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +236,41 @@ def _woop_transforms(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> np.ndarr
     return woop
 
 
+CLUSTER_K = 128  # treelet leaf capacity == BVH cluster width (bvh/clustered.py)
+
+
+def _np_treelet_leaves(v0, e1, e2, k=CLUSTER_K):
+    """Recursive longest-axis median split of triangle centroids into
+    leaves of <= k triangles.  Returns a list of index arrays.
+
+    Why not fixed k-runs of the Morton curve (round 1): a run can straddle
+    a large spatial jump — the bench scene's 2-triangle ground plane fuses
+    into a sphere's cluster, giving that cluster an AABB covering half the
+    scene, which every tile's frustum then overlaps.  Median-split leaves
+    are spatially tight at the same dense-matmul width; the unfilled slots
+    carry degenerate sentinel rows (e1 = e2 = 0 => guaranteed-miss Woop,
+    anchor v0 inside the leaf box so cluster AABBs stay tight).
+    """
+    p1, p2 = v0 + e1, v0 + e2
+    lo = np.minimum(np.minimum(v0, p1), p2)
+    hi = np.maximum(np.maximum(v0, p1), p2)
+    cent = (lo + hi) * 0.5
+    leaves = []
+    stack = [np.arange(len(v0), dtype=np.int64)]
+    while stack:
+        s = stack.pop()
+        if len(s) <= k:
+            leaves.append(s)
+            continue
+        c = cent[s]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        m = len(s) // 2
+        part = np.argpartition(c[:, ax], m)
+        stack.append(s[part[m:]])
+        stack.append(s[part[:m]])
+    return leaves
+
+
 def _pad(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
     pad = total - arr.shape[0]
     if pad <= 0:
@@ -232,7 +279,8 @@ def _pad(arr: np.ndarray, total: int, fill=0) -> np.ndarray:
     return np.pad(arr, width, constant_values=fill)
 
 
-def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
+def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD,
+                   mat_rows=None) -> Geometry:
     v0s, e1s, e2s, fns = [], [], [], []
     n0s, n1s, n2s = [], [], []
     uv0s, uv1s, uv2s = [], [], []
@@ -288,13 +336,38 @@ def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
     uv0_arr, uv1_arr, uv2_arr = cat(uv0s), cat(uv1s), cat(uv2s)
     mat_arr, mesh_arr, local_arr = cat(mat_ids), cat(mesh_ids), cat(local_ids)
 
-    if n_true > 0:  # store triangles along the Z-curve (see _np_morton_order)
-        order = _np_morton_order(v0, e1, e2)
-        v0, e1, e2 = v0[order], e1[order], e2[order]
-        fn_arr = fn_arr[order]
-        n0_arr, n1_arr, n2_arr = n0_arr[order], n1_arr[order], n2_arr[order]
-        uv0_arr, uv1_arr, uv2_arr = uv0_arr[order], uv1_arr[order], uv2_arr[order]
-        mat_arr, mesh_arr, local_arr = mat_arr[order], mesh_arr[order], local_arr[order]
+    if n_true > 0:
+        # Store triangles in treelet order: spatially tight leaves of
+        # <= CLUSTER_K, each padded IN PLACE to exactly CLUSTER_K slots so
+        # the BVH's fixed-width clusters align with leaf boundaries and
+        # slot == device triangle id holds (no per-frame remap gather).
+        leaves = _np_treelet_leaves(v0, e1, e2)
+        n_slots = len(leaves) * CLUSTER_K
+        slot_src = np.full(n_slots, -1, np.int64)
+        anchor = np.zeros(n_slots, np.int64)
+        out = 0
+        for leaf in leaves:
+            slot_src[out : out + len(leaf)] = leaf
+            anchor[out : out + CLUSTER_K] = leaf[0]
+            out += CLUSTER_K
+        pad_mask = slot_src < 0
+        take = np.where(pad_mask, anchor, slot_src)
+
+        def grab(x, pad_value=0):
+            y = x[take].copy()
+            y[pad_mask] = pad_value
+            return y
+
+        # v0 pads to the leaf's anchor vertex: with e1 = e2 = 0 the slot is
+        # a guaranteed-miss point INSIDE the leaf's AABB (doesn't bloat it).
+        v0 = v0[take]
+        e1, e2 = grab(e1), grab(e2)
+        fn_arr = grab(fn_arr)
+        n0_arr, n1_arr, n2_arr = grab(n0_arr), grab(n1_arr), grab(n2_arr)
+        uv0_arr, uv1_arr, uv2_arr = grab(uv0_arr), grab(uv1_arr), grab(uv2_arr)
+        mat_arr = grab(mat_arr, pad_value=-1)
+        mesh_arr = grab(mesh_arr, pad_value=-1)
+        local_arr = grab(local_arr, pad_value=-1)
 
     woop = _woop_transforms(v0, e1, e2)
     p1, p2 = v0 + e1, v0 + e2
@@ -320,22 +393,25 @@ def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
     pmesh = _pad(mesh_arr, total, fill=-1)
     plocal = _pad(local_arr, total, fill=-1)
 
-    packed_a = np.zeros((total, 16), np.float32)
-    packed_a[:, 0:3] = pv0
-    packed_a[:, 3:6] = pe1
-    packed_a[:, 6:9] = pe2
-    packed_a[:, 9] = plocal.view(np.float32)
-    packed_a[:, 10] = pmesh.view(np.float32)
-    packed_a[:, 11] = pmat.view(np.float32)
-
-    packed_b = np.zeros((total, 24), np.float32)
-    packed_b[:, 0:3] = pn0
-    packed_b[:, 3:6] = pn1
-    packed_b[:, 6:9] = pn2
-    packed_b[:, 9:12] = pfn
-    packed_b[:, 12:14] = puv0[:, :2]
-    packed_b[:, 14:16] = puv1[:, :2]
-    packed_b[:, 16:18] = puv2[:, :2]
+    packed = np.zeros((total, 40), np.float32)
+    packed[:, 0:3] = pv0
+    packed[:, 3:6] = pe1
+    packed[:, 6:9] = pe2
+    packed[:, 9] = plocal.view(np.float32)
+    packed[:, 10] = pmesh.view(np.float32)
+    packed[:, 11] = pmat.view(np.float32)
+    packed[:, 12:15] = pn0
+    packed[:, 15:18] = pn1
+    packed[:, 18:21] = pn2
+    packed[:, 21:24] = pfn
+    packed[:, 24:26] = puv0[:, :2]
+    packed[:, 26:28] = puv1[:, :2]
+    packed[:, 28:30] = puv2[:, :2]
+    if mat_rows is not None:
+        # Denormalize the material row per triangle (mat tables are tiny;
+        # the per-ray material gather this removes costs a full row-gather
+        # pass). Padding/invalid ids use row 0 — misses are masked anyway.
+        packed[:, 30:39] = mat_rows[np.maximum(pmat, 0) % len(mat_rows)]
 
     geo = Geometry(
         v0=dev(pv0),
@@ -352,11 +428,11 @@ def build_geometry(meshes: list[Mesh], tri_pad: int = TRI_PAD) -> Geometry:
         mat_id=dev(pmat),
         mesh_id=dev(pmesh),
         local_id=dev(plocal),
-        packed_a=dev(packed_a),
-        packed_b=dev(packed_b),
+        packed=dev(packed),
         scene_lo=scene_lo,
         scene_hi=scene_hi,
-        n_tris=n_true,
+        n_tris=len(v0) if n_true > 0 else 0,
+        n_real_tris=n_true,
         morton_sorted=True,
     )
     return geo
@@ -462,13 +538,16 @@ def build_device_scene(scene: Scene, base_dir: str = ".", tri_pad: int = TRI_PAD
     """Flatten a host Scene into the device SoA pytree (numpy arrays; JAX
     moves them to HBM on first use — the analog of the one-time geometry
     upload at DXRTRenderer.cpp:302-453, minus the per-mesh fence stalls)."""
+    materials = build_material_table(scene)
     return DeviceScene(
-        geometry=build_geometry(scene.meshes, tri_pad),
-        materials=build_material_table(scene),
+        geometry=build_geometry(scene.meshes, tri_pad,
+                                mat_rows=np.asarray(materials.packed)[:, :9]),
+        materials=materials,
         textures=build_texture_table(scene, base_dir),
         lights=build_light_table(scene),
         background_color=np.asarray(scene.settings.background_color, np.float32),
         has_specular=any(
             getattr(m, "specular", 0.0) > 0.0 for m in scene.materials
         ),
+        has_textures=bool(scene.textures),
     )

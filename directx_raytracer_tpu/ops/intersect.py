@@ -172,17 +172,21 @@ def intersect_bruteforce(
     return Hit(t=flat(bt), tri=flat(btri), u=flat(bu), v=flat(bv))
 
 
-def hit_record(origins, dirs, packed_a, hit: Hit):
-    """One wide gather -> exact (t, u, v) + per-triangle ids.
+def hit_record(origins, dirs, packed, hit: Hit):
+    """THE per-bounce gather: one fused (N, 40) row -> exact (t, u, v),
+    per-triangle ids, and the raw record for attribute slicing.
 
-    TPU gathers cost per row (not per byte): fetching v0/e1/e2/local/mesh/mat
-    as six narrow gathers costs ~6x35 ms at 2M rays, the single (N, 16)
-    packed gather a fraction of that.  Re-evaluates Möller-Trumbore exactly
-    for each ray's winning triangle (same refine trick as refine_hit).
+    TPU gathers cost per ROW, not per byte (measured ~76 Mrows/s at any
+    width 1..32), so geometry + vertex attributes + material data all ride
+    one row (models/scene.py Geometry.packed) — fetching them as separate
+    packed_a/packed_b/material gathers costs 3 full gather passes per
+    bounce.  Re-evaluates Möller-Trumbore exactly for each ray's winning
+    triangle (same refine trick as refine_hit).
 
-    Returns (refined Hit, local_id, mesh_id, mat_id) — ids are 0 for misses.
+    Returns (refined Hit, local_id, mesh_id, mat_id, rec) — ids are 0 for
+    misses; ``rec`` feeds ops.shading.hit_attributes without re-gathering.
     """
-    rec = packed_a[jnp.maximum(hit.tri, 0)]  # (N, 16) — THE gather
+    rec = packed[jnp.maximum(hit.tri, 0)]  # (N, 40) — THE gather
     v0 = rec[:, 0:3]
     e1 = rec[:, 3:6]
     e2 = rec[:, 6:9]
@@ -207,7 +211,8 @@ def hit_record(origins, dirs, packed_a, hit: Hit):
     )
     zero = jnp.int32(0)
     keep = lambda x: jnp.where(ok, x, zero)
-    return refined, keep(local_id), keep(mesh_id), keep(jnp.maximum(mat_id, 0))
+    return (refined, keep(local_id), keep(mesh_id),
+            keep(jnp.maximum(mat_id, 0)), rec)
 
 
 def refine_hit(origins, dirs, v0, e1, e2, hit: Hit) -> Hit:

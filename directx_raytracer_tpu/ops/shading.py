@@ -21,6 +21,7 @@ selects, not branches.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,46 +80,44 @@ def sample_textures(tex: TextureTable, tex_id, uv, bary_uv):
     return out
 
 
-def hit_attributes(dscene: DeviceScene, origins, dirs, hit, mat_id):
-    """Per-ray surface attributes for shading via wide packed-record gathers
-    (one (N, 24) geometry row + one (N, 8) material row — narrow per-field
-    gathers at 2M rays cost more than the intersection itself).
+def hit_attributes(dscene: DeviceScene, origins, dirs, hit, rec):
+    """Per-ray surface attributes for shading, sliced from the fused record
+    already gathered by ops.intersect.hit_record — NO additional gathers
+    (row gathers are the costliest op class at 2M rays; the one exception
+    is the texture table lookup, statically skipped for texture-free
+    scenes).
 
     Args:
-      mat_id: (N,) i32 per-ray material ids (from ops.intersect.hit_record).
+      rec: (N, 40) fused rows from hit_record (Geometry.packed layout).
 
     Returns dict with point, normal (smooth/flat per material), geometric
     normal, albedo (texture-resolved), and material fields.
     """
-    geo = dscene.geometry
-    mats = dscene.materials
-    tri = jnp.maximum(hit.tri, 0)
     u = hit.u[:, None]
     v = hit.v[:, None]
     w = 1.0 - u - v
 
-    rec = geo.packed_b[tri]  # (N, 24)
-    n0, n1, n2 = rec[:, 0:3], rec[:, 3:6], rec[:, 6:9]
-    n_geom = rec[:, 9:12]
-    uv0, uv1, uv2 = rec[:, 12:14], rec[:, 14:16], rec[:, 16:18]
+    n0, n1, n2 = rec[:, 12:15], rec[:, 15:18], rec[:, 18:21]
+    n_geom = rec[:, 21:24]
+    uv0, uv1, uv2 = rec[:, 24:26], rec[:, 26:28], rec[:, 28:30]
 
     point = origins + dirs * hit.t[:, None]
     n_smooth = normalize(w * n0 + u * n1 + v * n2, eps=1e-12)
 
-    mrec = mats.packed[mat_id]  # (N, 12)
-    mtype = mrec[:, 0].astype(jnp.int32)
-    albedo = mrec[:, 1:4]
-    ior = mrec[:, 4]
-    smooth = mrec[:, 5] > 0.5
-    tex_id = mrec[:, 6].astype(jnp.int32)
-    specular = mrec[:, 7]
-    shininess = mrec[:, 8]
+    mtype = rec[:, 30].astype(jnp.int32)
+    albedo = rec[:, 31:34]
+    ior = rec[:, 34]
+    smooth = rec[:, 35] > 0.5
+    tex_id = rec[:, 36].astype(jnp.int32)
+    specular = rec[:, 37]
+    shininess = rec[:, 38]
     normal = jnp.where(smooth[:, None], n_smooth, n_geom)
 
-    uv = w * uv0 + u * uv1 + v * uv2
-    bary_uv = jnp.concatenate([hit.u[:, None], hit.v[:, None]], axis=1)
-    tex_color = sample_textures(dscene.textures, tex_id, uv, bary_uv)
-    albedo = jnp.where((tex_id >= 0)[:, None], tex_color, albedo)
+    if dscene.has_textures:  # static — texture-free scenes skip the gather
+        uv = w * uv0 + u * uv1 + v * uv2
+        bary_uv = jnp.concatenate([hit.u[:, None], hit.v[:, None]], axis=1)
+        tex_color = sample_textures(dscene.textures, tex_id, uv, bary_uv)
+        albedo = jnp.where((tex_id >= 0)[:, None], tex_color, albedo)
 
     return {
         "point": point,
@@ -132,8 +131,19 @@ def hit_attributes(dscene: DeviceScene, origins, dirs, hit, mat_id):
     }
 
 
+def _morton_key_points(p, lo, hi, armed):
+    """30-bit Morton cell of each point; disarmed rays sort last."""
+    ext = jnp.maximum(hi - lo, 1e-12)
+    cell = jnp.clip((p - lo) / ext * 1024.0, 0.0, 1023.0).astype(jnp.int32)
+    key = jnp.zeros((p.shape[0],), jnp.int32)
+    for bit in range(10):
+        for ax in range(3):
+            key = key | (((cell[:, ax] >> bit) & 1) << (3 * bit + ax))
+    return jnp.where(armed, key, jnp.int32(2**31 - 1))
+
+
 def direct_lighting(points, normals, lights, occluder_fn, mask=None,
-                    view=None, shininess=None):
+                    view=None, shininess=None, sort_bounds=None):
     """Lambert-weighted point-light sum with shadow rays (+ optional
     Blinn-Phong specular, BASELINE.json config 3).
 
@@ -155,6 +165,14 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None,
         ``Σ_l intensity/(4πr²) · max(0, n·h)^shininess`` with
         h = normalize(l - view), shadow-gated like the diffuse term.
       shininess: (N,) f32 Blinn-Phong exponent (required with ``view``).
+      sort_bounds: optional (scene_lo, scene_hi).  When given, the shadow
+        work is done in MORTON-SORTED surface-point order: shadow tiles then
+        hold spatially tight groups of armed rays (pixel-order tiles mix
+        fore/background points at silhouettes and bin 7x more BVH clusters
+        — measured 93 vs 12.5 clusters/tile on the 100k bench scene), and
+        disarmed rays segregate to fully-parked tiles that bin to nothing.
+        Costs one wide gather + one narrow unsort scatter (~row-gather
+        passes at N rows) against a ~4x cheaper occluder pass.
 
     Returns (N, 1) un-albedo'd irradiance factor, or a tuple
     ((N, 1) diffuse, (N, 1) specular) when ``view`` is given.
@@ -167,6 +185,24 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None,
     n_l = min(n_lights, lights.position.shape[0])
     lpos = lights.position[:n_l]  # (L, 3)
     linten = lights.intensity[:n_l]  # (L,)
+
+    unsort = None
+    if sort_bounds is not None and occluder_fn is not None:
+        armed = mask if mask is not None else jnp.ones((n,), bool)
+        armed = (armed & jnp.isfinite(points).all(axis=-1)
+                 & jnp.isfinite(normals).all(axis=-1))
+        key = _morton_key_points(points, jnp.asarray(sort_bounds[0]),
+                                 jnp.asarray(sort_bounds[1]), armed)
+        _, perm = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+        cols = [points, normals, armed.astype(jnp.float32)[:, None]]
+        if view is not None:
+            cols += [view, shininess[:, None]]
+        packed = jnp.concatenate(cols, axis=1)[perm]  # ONE wide gather
+        points, normals = packed[:, 0:3], packed[:, 3:6]
+        mask = packed[:, 6] > 0.5
+        if view is not None:
+            view, shininess = packed[:, 7:10], packed[:, 10]
+        unsort = perm
 
     to_light = lpos[:, None, :] - points[None, :, :]  # (L, N, 3)
     dist = jnp.linalg.norm(to_light, axis=-1)  # (L, N)
@@ -190,17 +226,23 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None,
         # box of any tile mixing masked and unmasked rays — and are disarmed
         # via t_max = 0 instead (zero kernel work, tight boxes).
         finite = jnp.isfinite(shadow_o).all(axis=-1)
-        shadow_o = jnp.where(finite[:, None], shadow_o, 1e30)
-        ldir = jnp.where(
-            jnp.isfinite(ldir).all(axis=-1, keepdims=True), ldir,
-            jnp.array([1.0, 1.0, 1.0]),
+        live = finite
+        if unsort is not None and mask is not None:
+            # Sorted mode: disarmed rays are segregated to the tail, so
+            # parking them cannot blow up an armed tile's box — park them
+            # and their tiles bin to zero visits.
+            live = finite & mask
+        shadow_o = jnp.where(live[:, None], shadow_o, 1e30)
+        ldir_occ = jnp.where(
+            live[None, :, None] & jnp.isfinite(ldir).all(-1)[..., None],
+            ldir, jnp.array([1.0, 1.0, 1.0]),
         )
         t_shadow = dist - 2.0 * SHADOW_BIAS
         if mask is not None:
             t_shadow = jnp.where((mask & finite)[None, :], t_shadow, 0.0)
         origins = jnp.broadcast_to(shadow_o, (n_l, n, 3)).reshape(-1, 3)
         blocked = occluder_fn(
-            origins, ldir.reshape(-1, 3), t_shadow.reshape(-1)
+            origins, ldir_occ.reshape(-1, 3), t_shadow.reshape(-1)
         ).reshape(n_l, n)
         contrib = jnp.where(blocked, 0.0, contrib)
         if spec is not None:
@@ -210,9 +252,14 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None,
         if spec is not None:
             spec = jnp.where(mask[None, :], spec, 0.0)
     diffuse = jnp.sum(contrib, axis=0)[:, None]
-    if spec is None:
+    spec_sum = None if spec is None else jnp.sum(spec, axis=0)[:, None]
+    if unsort is not None:  # scatter sorted results back to ray order
+        diffuse = jnp.zeros_like(diffuse).at[unsort].set(diffuse)
+        if spec_sum is not None:
+            spec_sum = jnp.zeros_like(spec_sum).at[unsort].set(spec_sum)
+    if spec_sum is None:
         return diffuse
-    return diffuse, jnp.sum(spec, axis=0)[:, None]
+    return diffuse, spec_sum
 
 
 def reflect(d, n):

@@ -79,7 +79,7 @@ def render_debug(
         hit = intersect_bruteforce(origins, dirs, geo.woop)
     else:
         hit = intersect_fn(origins, dirs, geo, tile_bounds=bounds)
-    hit, local_id, mesh_id, _ = hit_record(origins, dirs, geo.packed_a, hit)
+    hit, local_id, mesh_id, _, _ = hit_record(origins, dirs, geo.packed, hit)
 
     color = shade_debug(mode, origins, dirs, hit.t, hit.u, hit.v, local_id, mesh_id)
     miss = jnp.array(MISS_COLOR, jnp.float32)

@@ -109,10 +109,10 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
     geo = dscene.geometry
     active = state["active"]
     hit = intersect_fn(state["origins"], state["dirs"], geo, tile_bounds=None)
-    hit, _, _, mat_id = hit_record(state["origins"], state["dirs"], geo.packed_a, hit)
+    hit, _, _, _, rec = hit_record(state["origins"], state["dirs"], geo.packed, hit)
     hit_mask = active & hit.mask
     miss_mask = active & ~hit.mask
-    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit, mat_id)
+    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit, rec)
     mtype = attrs["mtype"]
     thpt = state["throughput"]
     pixel = state["pixel"]

@@ -144,11 +144,11 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     active = state["active"]
 
     hit = intersect_fn(state["origins"], state["dirs"], geo, tile_bounds=tile_bounds)
-    hit, _, _, mat_id = hit_record(state["origins"], state["dirs"], geo.packed_a, hit)
+    hit, _, _, _, rec = hit_record(state["origins"], state["dirs"], geo.packed, hit)
     hit_mask = active & hit.mask
     miss_mask = active & ~hit.mask
 
-    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit, mat_id)
+    attrs = hit_attributes(dscene, state["origins"], state["dirs"], hit, rec)
     mtype = attrs["mtype"]
     is_diffuse = mtype == MaterialType.DIFFUSE
     is_constant = mtype == MaterialType.CONSTANT
@@ -166,17 +166,19 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     contrib = jnp.where(miss_mask[:, None], thpt * dscene.background_color[None, :], 0.0)
 
     diffuse_mask = hit_mask & is_diffuse
+    sort_bounds = (geo.scene_lo, geo.scene_hi)
     if dscene.has_specular:  # static: pow() skipped for reference scenes
         light, spec_light = direct_lighting(
             attrs["point"], attrs["normal"], dscene.lights, occluder_fn,
             mask=diffuse_mask, view=state["dirs"],
-            shininess=attrs["shininess"],
+            shininess=attrs["shininess"], sort_bounds=sort_bounds,
         )
         shaded = (attrs["albedo"] * light
                   + attrs["specular"][:, None] * spec_light)
     else:
         light = direct_lighting(attrs["point"], attrs["normal"],
-                                dscene.lights, occluder_fn, mask=diffuse_mask)
+                                dscene.lights, occluder_fn, mask=diffuse_mask,
+                                sort_bounds=sort_bounds)
         shaded = attrs["albedo"] * light
     contrib = contrib + jnp.where(diffuse_mask[:, None], thpt * shaded, 0.0)
     contrib = contrib + jnp.where(

@@ -35,7 +35,8 @@ class TestInvariants:
         geo = _scene_geo(testscenes.random_soup(n_tris, seed=n_tris))
         bvh = build_lbvh(geo)
         t = bvh.n_tris
-        assert t == n_tris
+        # device slots: treelet leaves padded to CLUSTER_K (sentinels never hit)
+        assert t == geo.n_tris and geo.n_real_tris == n_tris
         left = np.asarray(bvh.left)
         skip = np.asarray(bvh.skip)
 

@@ -40,17 +40,20 @@ def test_dragon_device_scene(dragon_path):
     scene = crtscene.load(dragon_path)
     ds = build_device_scene(scene)
     geo = ds.geometry
-    assert geo.n_tris == 4014
+    assert geo.n_real_tris == 4014
+    assert geo.n_tris % 128 == 0  # treelet leaves padded to CLUSTER_K
     assert geo.v0.shape[0] % 128 == 0
-    # mesh ids survive Morton reordering: 2 plane tris + 4012 dragon tris
-    mid = np.asarray(geo.mesh_id[: geo.n_tris])
+    # mesh ids survive treelet reordering: 2 plane tris + 4012 dragon tris
+    mid = np.asarray(geo.mesh_id)
     assert (mid == 0).sum() == 2 and (mid == 1).sum() == 4012
     # local ids (PrimitiveIndex) per mesh form complete 0..n-1 sets
-    lid = np.asarray(geo.local_id[: geo.n_tris])
+    lid = np.asarray(geo.local_id)
     assert sorted(lid[mid == 0].tolist()) == [0, 1]
     assert sorted(lid[mid == 1].tolist()) == list(range(4012))
-    # padding is inert
-    assert np.all(np.asarray(geo.mat_id[4014:]) == -1)
+    # interleaved + tail padding is inert (guaranteed-miss sentinels)
+    pad = np.asarray(geo.mat_id) == -1
+    assert pad.sum() == geo.v0.shape[0] - 4014
+    assert np.all(np.asarray(geo.e1)[pad] == 0)
     assert ds.lights.n_lights == 4
 
 

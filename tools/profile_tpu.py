@@ -99,12 +99,11 @@ def main():
         # (k, g, tile_h, tile_w): per-step work k*g tris x th*tw rays
         configs = [
             (128, 4, 24, 32),   # round-1 production config
-            (64, 8, 24, 32),
-            (32, 16, 24, 32),
+            (128, 4, 16, 32),
             (128, 4, 8, 32),
-            (64, 8, 8, 32),
-            (32, 16, 8, 32),
-            (32, 8, 8, 32),
+            (128, 4, 16, 16),
+            (128, 4, 8, 16),
+            (128, 8, 8, 32),
         ]
         for (k, g, th, tw) in configs:
             cs = bin_stats(geo, pos, rot, k, th, tw, g)
@@ -139,7 +138,7 @@ def main():
     bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, 24, 32)
     n = o.shape[0]
     t_init = jnp.full((n,), 10000.0, jnp.float32)
-    packed_a = jnp.asarray(geo.packed_a)
+    packed = jnp.asarray(geo.packed)
 
     def ph_raygen(eps):
         oo, dd = generate_rays_tiled(pos + eps, rot, WIDTH, HEIGHT, 24, 32)
@@ -169,7 +168,7 @@ def main():
         from directx_raytracer_tpu.ops.intersect import Hit
         fake = Hit(t=t_init, tri=jnp.arange(n, dtype=jnp.int32) % geo.n_tris,
                    u=t_init, v=t_init)
-        h2, li, mi, ma = hit_record(o + eps, d, packed_a, fake)
+        h2, li, mi, ma, rec = hit_record(o + eps, d, packed, fake)
         return h2.t[0]
 
     def ph_shade(eps):
