@@ -53,7 +53,13 @@ from .clustered import ClusterSet
 INF = float("inf")
 BIG = 1e30
 TILE_R = 768  # rays per tile (24x32 pixels — matches ops.rays.tile_perm)
-VISIT_BUDGET = 16384  # visit GROUPS (of VISIT_GROUP clusters) per launch
+# Visit GROUPS (of VISIT_GROUP clusters) per launch.  The grid is always
+# exactly this size (padding steps cost ~0.9 us machinery each), so the
+# budget is sized just above the typical primary-frame group count (~5k
+# after treelet clustering); larger frames walk the group list in
+# budget-sized windows via the overflow loop, wasting < one budget of
+# padding total.
+VISIT_BUDGET = 8192
 
 
 def _interpret() -> bool:

@@ -206,9 +206,15 @@ class DeviceScene:
     # per-ray texture-table gather + atlas sample entirely (row gathers are
     # the costliest op class on TPU).
     has_textures: bool = False
+    # Static: any REFRACTIVE material exists.  Without one, rays never
+    # split, so the Whitted bounce queue can default to capacity n_pix
+    # (queue_factor 1) instead of 2x — bounce passes at static full
+    # capacity are ~25% of the frame.
+    has_refractive: bool = False
 
 
-_register(DeviceScene, meta=("has_specular", "has_textures"))
+_register(DeviceScene,
+          meta=("has_specular", "has_textures", "has_refractive"))
 
 
 # ---------------------------------------------------------------------------
@@ -550,4 +556,7 @@ def build_device_scene(scene: Scene, base_dir: str = ".", tri_pad: int = TRI_PAD
             getattr(m, "specular", 0.0) > 0.0 for m in scene.materials
         ),
         has_textures=bool(scene.textures),
+        has_refractive=any(
+            m.type == MaterialType.REFRACTIVE for m in scene.materials
+        ),
     )

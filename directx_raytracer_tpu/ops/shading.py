@@ -97,12 +97,18 @@ def hit_attributes(dscene: DeviceScene, origins, dirs, hit, rec):
     v = hit.v[:, None]
     w = 1.0 - u - v
 
-    n0, n1, n2 = rec[:, 12:15], rec[:, 15:18], rec[:, 18:21]
     n_geom = rec[:, 21:24]
     uv0, uv1, uv2 = rec[:, 24:26], rec[:, 26:28], rec[:, 28:30]
 
     point = origins + dirs * hit.t[:, None]
-    n_smooth = normalize(w * n0 + u * n1 + v * n2, eps=1e-12)
+    # Smooth-normal interpolation componentwise on (N,) arrays — (N, 3)
+    # vector math wastes 125 of 128 lanes (see ops.intersect.hit_record).
+    uw, vw, ww = hit.u, hit.v, 1.0 - hit.u - hit.v
+    nsx = ww * rec[:, 12] + uw * rec[:, 15] + vw * rec[:, 18]
+    nsy = ww * rec[:, 13] + uw * rec[:, 16] + vw * rec[:, 19]
+    nsz = ww * rec[:, 14] + uw * rec[:, 17] + vw * rec[:, 20]
+    nlen = jnp.maximum(jnp.sqrt(nsx * nsx + nsy * nsy + nsz * nsz), 1e-12)
+    n_smooth = jnp.stack([nsx / nlen, nsy / nlen, nsz / nlen], axis=-1)
 
     mtype = rec[:, 30].astype(jnp.int32)
     albedo = rec[:, 31:34]

@@ -58,7 +58,7 @@ def render_whitted_multichip(
     spp: int = 1,
     intersect_fn=None,
     occluder_factory=None,
-    queue_factor: int = 2,
+    queue_factor: int | None = None,
 ):
     """Whitted frame sharded over a (tiles, samples) mesh.
 

@@ -79,9 +79,26 @@ def render_debug(
         hit = intersect_bruteforce(origins, dirs, geo.woop)
     else:
         hit = intersect_fn(origins, dirs, geo, tile_bounds=bounds)
-    hit, local_id, mesh_id, _, _ = hit_record(origins, dirs, geo.packed, hit)
 
-    color = shade_debug(mode, origins, dirs, hit.t, hit.u, hit.v, local_id, mesh_id)
+    # Modes 4-6 consume only the hit distance; the fused-record gather +
+    # exact re-intersection exists for ids (modes 0-2) and barycentrics
+    # (mode 3).  The row gather is ~40 ms at 2M rays — the costliest single
+    # op in the frame — so fetch it under a scalar cond: mode stays traced
+    # (no recompile on switch, reference parity with the debug CB), yet
+    # distance/height/checker frames skip the gather entirely (their t is
+    # the kernel's packed value, within ~1e-4 relative).
+    def with_record(_):
+        h2, local_id, mesh_id, _, _ = hit_record(origins, dirs, geo.packed, hit)
+        return h2.t, h2.u, h2.v, local_id, mesh_id
+
+    def without_record(_):
+        zero = jnp.zeros_like(hit.t, dtype=jnp.int32)
+        return hit.t, hit.u, hit.v, zero, zero
+
+    t, u, v, local_id, mesh_id = jax.lax.cond(
+        mode <= 3, with_record, without_record, None)
+
+    color = shade_debug(mode, origins, dirs, t, u, v, local_id, mesh_id)
     miss = jnp.array(MISS_COLOR, jnp.float32)
     color = jnp.where(hit.mask[:, None], color, miss)
     return untile(color, width, height, tile)

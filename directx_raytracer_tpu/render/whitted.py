@@ -262,7 +262,7 @@ def render_tile(
     max_depth: int = 5,
     intersect_fn=None,
     occluder_factory=None,
-    queue_factor: int = 2,
+    queue_factor: int | None = None,
     offset_weights=None,
 ):
     """Core tile renderer (trace-level; callers jit / shard_map it).
@@ -286,6 +286,11 @@ def render_tile(
     occluder = (occluder_factory or _default_occluder)(geo)
     rows = height if rows is None else rows
     offsets = jnp.asarray(offsets, jnp.float32)
+    if queue_factor is None:
+        # Without refractive materials rays never split: a bounce wavefront
+        # can't outgrow the previous one, so capacity n_pix suffices and
+        # every bounce pass halves its static workload.
+        queue_factor = 2 if dscene.has_refractive else 1
 
     n_pix = width * rows
     # The primary wavefront is generated directly in tile-major order:
@@ -392,7 +397,7 @@ def render_whitted(
     spp: int = 1,
     intersect_fn=None,
     occluder_factory=None,
-    queue_factor: int = 2,
+    queue_factor: int | None = None,
 ):
     """Render one Whitted frame (single chip).
 
@@ -403,10 +408,12 @@ def render_whitted(
       spp: 1 (pixel center, reference raygen) or 4 (rotated-grid AA).
       intersect_fn: (origins, dirs, geometry) -> Hit override (e.g. BVH).
       occluder_factory: geometry -> (origins, dirs, max_t) -> bool override.
-      queue_factor: secondary-wavefront capacity as a multiple of H*W; 2
-        keeps both branches of a full-screen refractive surface alive (the
-        worst single-split case).  Deeper splits can still overflow — the
-        transmission branch survives first and overflow is reported in stats.
+      queue_factor: secondary-wavefront capacity as a multiple of H*W;
+        None (default) auto-selects 2 for scenes with refractive materials
+        (keeps both branches of a full-screen refractive surface alive) and
+        1 otherwise (rays never split).  Deeper splits can still overflow —
+        the transmission branch survives first and overflow is reported in
+        stats.
 
     Returns:
       image (H, W, 3) f32 linear, stats dict {alive, dropped per pass}.
