@@ -35,7 +35,53 @@ def best_intersect_fn():
     return build_bvh, make_bvh_intersect_fn
 
 
+def kernel_smoke() -> None:
+    """Correctness gate: the REAL compiled kernel vs brute force on a small
+    scene, run before timing.  A wrong-pixel regression in the Pallas path
+    flips this benchmark's exit code (VERDICT r1 next-step #7) instead of
+    silently reporting a fast-but-wrong number."""
+    import jax.numpy as jnp
+
+    from directx_raytracer_tpu.bvh import build_bvh
+    from directx_raytracer_tpu.bvh.pallas_intersect import (
+        intersect_pallas, occluded_pallas)
+    from directx_raytracer_tpu.ops.intersect import (
+        intersect_bruteforce, occluded_bruteforce)
+    from directx_raytracer_tpu.ops.rays import generate_rays_tiled
+
+    scene = testscenes.bench_scene(n_tris=3_000, width=64, height=32)
+    d = build_device_scene(scene)
+    pos, rot = scene.camera.snapshot()
+    o, dd = generate_rays_tiled(jnp.asarray(pos, jnp.float32),
+                                jnp.asarray(rot, jnp.float32), 64, 32, 8, 8)
+    bvh = build_bvh(d.geometry)
+    hp = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=64,
+                          refine=True)
+    hb = intersect_bruteforce(o, dd, d.geometry.woop)
+    mp, mb = np.asarray(hp.tri >= 0), np.asarray(hb.tri >= 0)
+    # Tolerances match tests_tpu: different f32 evaluation orders disagree
+    # on a ~0.2% sliver-edge fringe on real hardware; a real kernel
+    # regression (wrong binning, lost hits) mismatches at whole-percent
+    # scale and still trips these.
+    if (mp == mb).mean() < 0.995:
+        raise SystemExit("kernel smoke FAILED: hit/miss mismatch vs brute force")
+    both = mp & mb
+    if both.any():
+        tri_ok = (np.asarray(hp.tri)[both] == np.asarray(hb.tri)[both])
+        terr = np.abs(np.asarray(hp.t)[both] - np.asarray(hb.t)[both])
+        rel = terr / np.maximum(np.asarray(hb.t)[both], 1.0)
+        if tri_ok.mean() < 0.99 or (rel[tri_ok] > 1e-3).mean() > 0.005:
+            raise SystemExit("kernel smoke FAILED: winner/t mismatch")
+    tmax = np.full(o.shape[0], 25.0, np.float32)
+    ob = np.asarray(occluded_bruteforce(o, dd, d.geometry.woop, tmax))
+    op = np.asarray(occluded_pallas(o, dd, bvh.clusters, bvh.wplanar,
+                                    jnp.asarray(tmax), tile_r=64))
+    if (ob == op).mean() < 0.995:
+        raise SystemExit("kernel smoke FAILED: occlusion mismatch")
+
+
 def main():
+    kernel_smoke()
     scene = testscenes.bench_scene(n_tris=100_000, width=WIDTH, height=HEIGHT)
     dscene = build_device_scene(scene)
     pos, rot = scene.camera.snapshot()

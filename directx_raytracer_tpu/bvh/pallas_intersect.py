@@ -159,6 +159,154 @@ def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
 
 
 
+SUPER_C = 16  # clusters per supercluster (two-level binning)
+# Cluster count above which the two-level binner engages (the flat binner's
+# per-tile sort costs T x C keys; the two-level builder's element gathers
+# cost ~budget x log S regardless of C).  DXRT_HIER_MIN_C overrides for
+# experiments.
+HIER_MIN_C = int(__import__("os").environ.get("DXRT_HIER_MIN_C", 2048))
+
+
+def bin_clusters_hier(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
+                      sc: int = SUPER_C):
+    """Two-level frustum binning for BIG scenes (the reference's BLAS/TLAS
+    split, DXRTRenderer.cpp:548-806, reimagined for tile-uniform culling).
+
+    The flat binner's per-tile near-to-far SORT scales with T x C keys
+    (~22M at 1M triangles — tens of ms).  Here the sort runs at SUPERCLUSTER
+    granularity only (C/16 keys per tile); cluster-level culling stays a
+    pure elementwise slab pass whose per-super results are packed into a
+    16-bit occupancy mask, and the visit builder walks (super rank, set
+    bit) instead of a sorted cluster list.  Clusters lose exact global
+    near-to-far order (they order by super entry, Morton within a super) —
+    measured harmless: the group early-out fires on tile convergence, which
+    super ordering preserves.
+
+    Returns (sids, cnt_s, bits_s, entry_s, counts): all (T, S) in sorted
+    super order + per-tile total overlapping-cluster counts.
+    """
+    tiles = origins.shape[0]
+    c = cs.aabb_min.shape[0]
+    s = -(-c // sc)
+    pad = s * sc - c
+    a_min, a_max = cs.aabb_min, cs.aabb_max
+    if pad:
+        a_min = jnp.concatenate(
+            [a_min, jnp.full((pad, 3), jnp.inf, a_min.dtype)])
+        a_max = jnp.concatenate(
+            [a_max, jnp.full((pad, 3), -jnp.inf, a_max.dtype)])
+    sup_lo = a_min.reshape(s, sc, 3).min(axis=1)
+    sup_hi = a_max.reshape(s, sc, 3).max(axis=1)
+
+    if bounds is not None:
+        o_lo, o_hi = bounds["o_lo"], bounds["o_hi"]
+        d_lo, d_hi = bounds["d_lo"], bounds["d_hi"]
+        t_min = 0.0
+    else:
+        o_lo = origins.min(axis=1)
+        o_hi = origins.max(axis=1)
+        d_lo = dirs.min(axis=1)
+        d_hi = dirs.max(axis=1)
+
+    def slab(lo_box, hi_box):
+        entry = jnp.full((tiles, lo_box.shape[0]), -BIG)
+        exit_ = jnp.full_like(entry, BIG)
+        for ax in range(3):
+            n_lo = lo_box[None, :, ax] - o_hi[:, None, ax]
+            n_hi = hi_box[None, :, ax] - o_lo[:, None, ax]
+            i_lo, i_hi = _interval_inv(d_lo[:, None, ax], d_hi[:, None, ax])
+            prods = jnp.stack(
+                [n_lo * i_lo, n_lo * i_hi, n_hi * i_lo, n_hi * i_hi], axis=0)
+            prods = jnp.clip(prods, -BIG, BIG)
+            entry = jnp.maximum(entry, prods.min(axis=0))
+            exit_ = jnp.minimum(exit_, prods.max(axis=0))
+        return entry, exit_
+
+    e_s, x_s = slab(sup_lo, sup_hi)  # (T, S)
+    e_c, x_c = slab(a_min, a_max)  # (T, S*sc) — elementwise only, no sort
+    ov_c = ((e_c <= x_c) & (x_c >= t_min)).reshape(tiles, s, sc)
+    cnt = ov_c.sum(axis=-1).astype(jnp.int32)  # (T, S)
+    bits = (ov_c.astype(jnp.int32)
+            << jnp.arange(sc, dtype=jnp.int32)[None, None, :]).sum(-1)
+
+    key = jnp.where(cnt > 0, jnp.maximum(e_s, t_min), INF)
+    if bounds is not None and "len_hi" in bounds:
+        key = jnp.where(jnp.isfinite(key), key / bounds["len_hi"][:, None],
+                        key)
+    sid = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (tiles, s))
+    key_s, sid_s, cnt_s, bits_s = jax.lax.sort(
+        (key, sid, cnt, bits), dimension=1, num_keys=1)
+    counts = cnt.sum(axis=1)
+    return sid_s, cnt_s, bits_s, key_s, counts
+
+
+def build_visit_groups_hier(sid_s, cnt_s, bits_s, entry_s, counts,
+                            budget: int, g: int, sc: int = SUPER_C, start=0):
+    """Grouped visit arrays from two-level binning output — same contract
+    as build_visit_groups (the kernel is oblivious to which binner ran).
+
+    Per visit slot: the per-tile group index comes from the usual
+    searchsorted over group offsets; the cluster rank within the tile then
+    maps to (super rank, ordinal) by a manual binary search over the
+    per-tile running super counts (element gathers scale with the BUDGET,
+    not with C — that's the whole point), and the ordinal picks the o-th
+    set bit of the super's 16-bit occupancy mask.
+    """
+    t, s = sid_s.shape
+    start = jnp.asarray(start, jnp.int32)
+    g_counts = (counts + g - 1) // g
+    ends = jnp.cumsum(g_counts)
+    offs = ends - g_counts
+    total = ends[-1]
+    remaining = jnp.maximum(total - start - budget, 0)
+
+    v = jnp.arange(budget, dtype=jnp.int32) + start
+    in_range = v < total
+    tile = jnp.searchsorted(ends, v, side="right").astype(jnp.int32)
+    tile_c = jnp.minimum(tile, t - 1)
+    j = v - offs[tile_c]
+    base = j * g
+    last = jnp.maximum(counts[tile_c] - 1, 0)
+
+    cum = jnp.cumsum(cnt_s, axis=1)  # (T, S) running cluster counts
+    nbits = max((s - 1).bit_length(), 1)
+
+    def super_of(r):
+        """Smallest p with cum[tile, p] > r (the containing super rank)."""
+        lo = jnp.zeros_like(r)
+        for b in reversed(range(nbits)):
+            cand = lo + (1 << b)
+            val = cum[tile_c, jnp.minimum(cand, s) - 1]
+            lo = jnp.where((cand <= s) & (val <= r), cand, lo)
+        return jnp.minimum(lo, s - 1)
+
+    vcs = []
+    ve = None
+    for kk in range(g):
+        r = jnp.minimum(base + kk, last)
+        p = super_of(r)
+        before = jnp.where(p > 0, cum[tile_c, jnp.maximum(p - 1, 0)], 0)
+        o = r - before  # ordinal within the super, 0..sc-1
+        m = bits_s[tile_c, p]
+        sid = sid_s[tile_c, p]
+        # index of the o-th set bit of m
+        bit = jnp.full_like(r, -1)
+        run = jnp.zeros_like(r)
+        for bb in range(sc):
+            isset = (m >> bb) & 1
+            found = (isset == 1) & (run == o) & (bit < 0)
+            bit = jnp.where(found, bb, bit)
+            run = run + isset
+        cl = sid * sc + jnp.maximum(bit, 0)
+        vcs.append(jnp.where(in_range, cl, 0))
+        if kk == 0:
+            ve = jnp.where(in_range, entry_s[tile_c, p], 0.0)
+
+    visit_tile = jnp.where(in_range, tile_c, t)
+    visit_first = (in_range & ((j == 0) | (v == start))).astype(jnp.int32)
+    return visit_tile, vcs, visit_first, ve, remaining
+
+
 def build_visit_groups(ids, entry, counts, budget: int, g: int, start=0):
     """Flatten ragged per-tile cluster lists into fixed-size GROUPED visit
     arrays: each grid step processes ``g`` clusters of one tile, amortizing
@@ -466,10 +614,20 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
     if bounds is not None and bounds["d_lo"].shape[0] != tiles:
         bounds = None
 
-    ids, entry, counts = bin_clusters(
-        origins.reshape(tiles, tile_r, 3), dirs.reshape(tiles, tile_r, 3), cs,
-        bounds=bounds,
-    )
+    ot = origins.reshape(tiles, tile_r, 3)
+    dt = dirs.reshape(tiles, tile_r, 3)
+    if cs.aabb_min.shape[0] >= HIER_MIN_C:  # static: big scene, 2-level bin
+        binned = bin_clusters_hier(ot, dt, cs, bounds=bounds)
+        counts = binned[4]
+
+        def make_groups(start):
+            return build_visit_groups_hier(*binned, budget, g, start=start)
+    else:
+        ids, entry, counts = bin_clusters(ot, dt, cs, bounds=bounds)
+
+        def make_groups(start):
+            return build_visit_groups(ids, entry, counts, budget, g,
+                                      start=start)
 
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,
@@ -484,7 +642,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
     )
     blocked = jnp.zeros((tiles + 1, 1, tile_r), jnp.int32)
 
-    vt, vcs, vf, ve, _ = build_visit_groups(ids, entry, counts, budget, g)
+    vt, vcs, vf, ve, _ = make_groups(0)
     blocked = _launch_anyhit(rays8, tmax3, blocked, vt, vcs, vf, ve, wplanar,
                              cs.k, tile_r, budget)
 
@@ -499,8 +657,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
 
     def body(state):
         start, b = state
-        vt2, vcs2, vf2, ve2, _ = build_visit_groups(ids, entry, counts,
-                                                    budget, g, start=start)
+        vt2, vcs2, vf2, ve2, _ = make_groups(start)
         b2 = _launch_anyhit(rays8, tmax3, b, vt2, vcs2, vf2, ve2, wplanar,
                             cs.k, tile_r, budget)
         return start + budget, b2
@@ -547,10 +704,20 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     if bounds is not None and bounds["d_lo"].shape[0] != tiles:
         bounds = None
 
-    ids, entry, counts = bin_clusters(
-        origins.reshape(tiles, tile_r, 3), dirs.reshape(tiles, tile_r, 3), cs,
-        bounds=bounds,
-    )
+    ot = origins.reshape(tiles, tile_r, 3)
+    dt = dirs.reshape(tiles, tile_r, 3)
+    if cs.aabb_min.shape[0] >= HIER_MIN_C:  # static: big scene, 2-level bin
+        binned = bin_clusters_hier(ot, dt, cs, bounds=bounds)
+        counts = binned[4]
+
+        def make_groups(start):
+            return build_visit_groups_hier(*binned, budget, g, start=start)
+    else:
+        ids, entry, counts = bin_clusters(ot, dt, cs, bounds=bounds)
+
+        def make_groups(start):
+            return build_visit_groups(ids, entry, counts, budget, g,
+                                      start=start)
 
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,
@@ -564,7 +731,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     )
     best_slot = jnp.full((tiles + 1, 1, tile_r), -1, jnp.int32)
 
-    vt, vcs, vf, ve, _ = build_visit_groups(ids, entry, counts, budget, g)
+    vt, vcs, vf, ve, _ = make_groups(0)
     best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
                                 wplanar, cs.k, tile_r, budget)
 
@@ -580,8 +747,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
 
     def body(state):
         start, bt, bs = state
-        vt2, vcs2, vf2, ve2, _ = build_visit_groups(ids, entry, counts,
-                                                    budget, g, start=start)
+        vt2, vcs2, vf2, ve2, _ = make_groups(state[0])
         bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar, cs.k,
                            tile_r, budget)
         return start + budget, bt2, bs2

@@ -107,6 +107,9 @@ class Renderer:
     def camera(self):
         return self.scene.camera
 
+    _u8_jit = staticmethod(jax.jit(
+        lambda im: (jnp.clip(im, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)))
+
     def render_frame(self, mode: int = 0):
         """One debug-shaded frame (the reference's only executed path)."""
         pos, rot = self.camera.snapshot()
@@ -134,6 +137,13 @@ class Renderer:
         from ..utils.image import to_u8
 
         return to_u8(np.asarray(img))
+
+    def to_u8_device(self, img):
+        """UNORM u8 conversion ON DEVICE (same rounding as utils.image.to_u8)
+        — returns a device array without syncing, so an interactive loop can
+        overlap the host transfer of frame n with the dispatch of frame n+1
+        (the axon tunnel adds ~30-40 ms per synchronous round trip)."""
+        return self._u8_jit(img)
 
     @staticmethod
     def mode_name(mode: int) -> str:

@@ -59,6 +59,17 @@ def _frame(renderer: Renderer, args):
     return renderer.to_u8(img)
 
 
+def _frame_device(renderer: Renderer, args):
+    """Dispatch one frame and return the DEVICE u8 array without syncing —
+    the interactive loop keeps a 1-frame pipeline (SURVEY hard part #2:
+    hiding the host<->device framebuffer transfer behind the next dispatch)."""
+    if args.whitted:
+        img, _ = renderer.render_whitted_frame(max_depth=args.depth, spp=args.spp)
+    else:
+        img = renderer.render_frame(mode=args.mode)
+    return renderer.to_u8_device(img)
+
+
 def cmd_render(args):
     r = _build_renderer(args)
     img = _frame(r, args)
@@ -103,6 +114,7 @@ def cmd_interactive(args):
     sys.stdout.write(tty.clear_screen())
     last = time.perf_counter()
     status = ""
+    pending = None  # device u8 frame in flight (1-frame display pipeline)
     with tty.RawKeyboard() as kb:
         while True:
             now = time.perf_counter()
@@ -141,7 +153,12 @@ def cmd_interactive(args):
                     write_png("frame.png", _frame(r, args))
                     status = "saved frame.png"
             args.mode, args.whitted = mode, whitted
-            img = _frame(r, args)
+            # 1-frame pipeline: dispatch frame n+1 (async under XLA), then
+            # transfer + draw frame n while the device renders — hides the
+            # ~30-40 ms tunnel round trip behind compute.
+            new_pending = _frame_device(r, args)
+            img = np.asarray(pending if pending is not None else new_pending)
+            pending = new_pending
             if r.stats.tick(0):
                 pass
             sys.stdout.write(tty.home_cursor())

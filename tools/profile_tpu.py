@@ -36,22 +36,26 @@ from directx_raytracer_tpu.render.debug import render_debug
 WIDTH, HEIGHT = 1920, 1080
 
 
-def timed(fn, n=5, label=""):
-    """Device time per iteration of fn(eps) chained inside one jit."""
+def timed(fn, *arrays, n=5, label=""):
+    """Device time per iteration of fn(eps, *arrays) chained in one jit.
+
+    Big operands must ride ``arrays`` (jit parameters): a closed-over
+    device array becomes an HLO literal, and the axon remote compiler
+    rejects requests past ~200 MB (HTTP 413)."""
 
     @jax.jit
-    def run(eps):
+    def run(eps, *arrs):
         def body(i, carry):
             e, acc = carry
-            out = fn(eps=e)
+            out = fn(e, *arrs)
             v = jnp.asarray(out).reshape(-1)[0].astype(jnp.float32)
             return jnp.where(jnp.isfinite(v), v, 0.0) * 0.0, acc + v
         _, acc = jax.lax.fori_loop(0, n, body, (eps, jnp.float32(0)))
         return acc
 
-    float(run(jnp.float32(0)))  # compile + warm
+    float(run(jnp.float32(0), *arrays))  # compile + warm
     t0 = time.perf_counter()
-    float(run(jnp.float32(0)))
+    float(run(jnp.float32(0), *arrays))
     dt = (time.perf_counter() - t0) / n
     print(f"{label:44s} {dt*1e3:9.2f} ms", flush=True)
     return dt
@@ -113,7 +117,7 @@ def main():
             bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, th, tw)
             t_init = jnp.full((o.shape[0],), 10000.0, jnp.float32)
 
-            def ph_search(eps, o=o, d=d, t_init=t_init, cs=cs, w=w,
+            def ph_search(eps, *a, o=o, d=d, t_init=t_init, cs=cs, w=w,
                           tile_r=tile_r, bounds=bounds, g=g):
                 bt, bs = _search(o + eps, d, t_init, cs, w, tile_r, 16384,
                                  bounds=bounds, g=g)
@@ -140,44 +144,44 @@ def main():
     t_init = jnp.full((n,), 10000.0, jnp.float32)
     packed = jnp.asarray(geo.packed)
 
-    def ph_raygen(eps):
+    def ph_raygen(eps, *a):
         oo, dd = generate_rays_tiled(pos + eps, rot, WIDTH, HEIGHT, 24, 32)
         return oo[0, 0] + dd[0, 0]
 
-    def ph_bin(eps):
+    def ph_bin(eps, *a):
         ids, entry, counts = bin_clusters(ot + eps, dt_, cs, bounds=None)
         return counts[0]
 
-    def ph_bin_bounds(eps):
+    def ph_bin_bounds(eps, *a):
         b2 = {k2: v + eps if k2 != "len_hi" else v for k2, v in bounds.items()}
         ids, entry, counts = bin_clusters(ot, dt_, cs, bounds=b2)
         return counts[0]
 
-    def ph_groups(eps):
+    def ph_groups(eps, *a):
         ids, entry, counts = bin_clusters(ot, dt_, cs, bounds=bounds)
         vt, vcs, vf, ve, rem = build_visit_groups(
             ids, entry + eps, counts, 16384, VISIT_GROUP)
         return ve[0]
 
-    def ph_search(eps):
+    def ph_search(eps, *a):
         bt, bs = _search(o + eps, d, t_init, cs, w, TILE_R, 16384,
                          bounds=bounds)
         return bt[0]
 
-    def ph_hitrec(eps):
+    def ph_hitrec(eps, packed):
         from directx_raytracer_tpu.ops.intersect import Hit
         fake = Hit(t=t_init, tri=jnp.arange(n, dtype=jnp.int32) % geo.n_tris,
                    u=t_init, v=t_init)
         h2, li, mi, ma, rec = hit_record(o + eps, d, packed, fake)
         return h2.t[0]
 
-    def ph_shade(eps):
+    def ph_shade(eps, *a):
         from directx_raytracer_tpu.ops.debug_shading import shade_debug
         color = shade_debug(jnp.int32(5), o + eps, d, t_init, t_init, t_init,
                             jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
         return color[0, 0]
 
-    def ph_frame(eps):
+    def ph_frame(eps, *a):
         from directx_raytracer_tpu.bvh import make_bvh_intersect_fn
         img = render_debug(dscene, pos + eps, rot, jnp.int32(5), WIDTH,
                            HEIGHT, intersect_fn=make_bvh_intersect_fn(bvh))
@@ -188,7 +192,7 @@ def main():
     timed(ph_bin_bounds, n=nfr, label="bin_clusters (analytic bounds)")
     timed(ph_groups, n=nfr, label="bin + build_visit_groups")
     timed(ph_search, n=nfr, label="_search full (bin+groups+kernel)")
-    timed(ph_hitrec, n=nfr, label="hit_record (gather+MT refine)")
+    timed(ph_hitrec, packed, n=nfr, label="hit_record (gather+MT refine)")
     timed(ph_shade, n=nfr, label="shade_debug (mode 5)")
     dt = timed(ph_frame, n=nfr, label="render_debug full frame")
     print(f"=> {WIDTH*HEIGHT/dt/1e6:.2f} Mrays/s")
