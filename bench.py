@@ -55,7 +55,7 @@ def kernel_smoke() -> None:
     o, dd = generate_rays_tiled(jnp.asarray(pos, jnp.float32),
                                 jnp.asarray(rot, jnp.float32), 64, 32, 8, 8)
     bvh = build_bvh(d.geometry)
-    hp = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=64,
+    hp = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=256,
                           refine=True)
     hb = intersect_bruteforce(o, dd, d.geometry.woop)
     mp, mb = np.asarray(hp.tri >= 0), np.asarray(hb.tri >= 0)
@@ -75,7 +75,7 @@ def kernel_smoke() -> None:
     tmax = np.full(o.shape[0], 25.0, np.float32)
     ob = np.asarray(occluded_bruteforce(o, dd, d.geometry.woop, tmax))
     op = np.asarray(occluded_pallas(o, dd, bvh.clusters, bvh.wplanar,
-                                    jnp.asarray(tmax), tile_r=64))
+                                    jnp.asarray(tmax), tile_r=256))
     if (ob == op).mean() < 0.995:
         raise SystemExit("kernel smoke FAILED: occlusion mismatch")
 

@@ -46,6 +46,8 @@ class ClusterSet:
     woop: jax.Array  # (C, K, 3, 4) f32 — per-cluster Woop blocks
     aabb_min: jax.Array  # (C, 3) f32
     aabb_max: jax.Array  # (C, 3) f32
+    valid: jax.Array  # (C,) bool — False for all-sentinel clusters (treelet
+    #                   leaf padding); binners cull them outright
     order: jax.Array  # (C*K,) i32 — sorted slot -> original tri id (-1 pad)
     v0: jax.Array  # (C*K, 3) f32 — sorted geometry (exact MT re-evaluation)
     e1: jax.Array
@@ -84,12 +86,19 @@ def _build(v0, e1, e2, woop, n_tris: int, k: int, presorted: bool):
         ) if pad else x
 
     s_woop = padded(woop[order], 0.0).at[t:].set(sent_woop) if pad else woop[order]
-    s_min = padded(tri_min[order], jnp.inf)
-    s_max = padded(tri_max[order], -jnp.inf)
+    # Sentinel (degenerate) rows must not bloat cluster AABBs, and clusters
+    # made ONLY of sentinels must not bin at all.
+    real = (jnp.abs(e1).max(axis=1) > 0) | (jnp.abs(e2).max(axis=1) > 0)
+    real_s = padded(real[order], False)
+    s_min = jnp.where(real_s[:, None], padded(tri_min[order], jnp.inf),
+                      jnp.inf)
+    s_max = jnp.where(real_s[:, None], padded(tri_max[order], -jnp.inf),
+                      -jnp.inf)
     return ClusterSet(
         woop=s_woop.reshape(c, k, 3, 4),
         aabb_min=s_min.reshape(c, k, 3).min(axis=1),
         aabb_max=s_max.reshape(c, k, 3).max(axis=1),
+        valid=real_s.reshape(c, k).any(axis=1),
         order=padded(order, -1),
         v0=padded(v0[order], 0.0),
         e1=padded(e1[order], 0.0),

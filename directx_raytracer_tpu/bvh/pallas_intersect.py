@@ -52,14 +52,14 @@ from .clustered import ClusterSet
 
 INF = float("inf")
 BIG = 1e30
-TILE_R = 768  # rays per tile (24x32 pixels — matches ops.rays.tile_perm)
+TILE_R = 256  # rays per tile (16x16 pixels — matches ops.rays.pick_tile)
 # Visit GROUPS (of VISIT_GROUP clusters) per launch.  The grid is always
 # exactly this size (padding steps cost ~0.9 us machinery each), so the
-# budget is sized just above the typical primary-frame group count (~5k
-# after treelet clustering); larger frames walk the group list in
-# budget-sized windows via the overflow loop, wasting < one budget of
-# padding total.
-VISIT_BUDGET = 8192
+# budget is sized just above the typical primary-frame group count (~10k
+# at 16x16 tiles after treelet clustering); larger frames walk the group
+# list in budget-sized windows via the overflow loop, wasting < one
+# budget of padding total.
+VISIT_BUDGET = 10240
 
 
 def _interpret() -> bool:
@@ -145,7 +145,7 @@ def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
         entry = jnp.maximum(entry, prods.min(axis=0))
         exit_ = jnp.minimum(exit_, prods.max(axis=0))
 
-    overlap = (entry <= exit_) & (exit_ >= t_min)
+    overlap = (entry <= exit_) & (exit_ >= t_min) & cs.valid[None, :]
     key = jnp.where(overlap, jnp.maximum(entry, t_min), INF)
     if bounds is not None and "len_hi" in bounds:
         key = jnp.where(jnp.isfinite(key), key / bounds["len_hi"][:, None], key)
@@ -224,7 +224,11 @@ def bin_clusters_hier(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
 
     e_s, x_s = slab(sup_lo, sup_hi)  # (T, S)
     e_c, x_c = slab(a_min, a_max)  # (T, S*sc) — elementwise only, no sort
-    ov_c = ((e_c <= x_c) & (x_c >= t_min)).reshape(tiles, s, sc)
+    valid = cs.valid
+    if pad:
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    ov_c = ((e_c <= x_c) & (x_c >= t_min)
+            & valid[None, :]).reshape(tiles, s, sc)
     cnt = ov_c.sum(axis=-1).astype(jnp.int32)  # (T, S)
     bits = (ov_c.astype(jnp.int32)
             << jnp.arange(sc, dtype=jnp.int32)[None, None, :]).sum(-1)
@@ -298,7 +302,7 @@ def build_visit_groups_hier(sid_s, cnt_s, bits_s, entry_s, counts,
             bit = jnp.where(found, bb, bit)
             run = run + isset
         cl = sid * sc + jnp.maximum(bit, 0)
-        vcs.append(jnp.where(in_range, cl, 0))
+        vcs.append(jnp.where(in_range & (base + kk <= last), cl, -1))
         if kk == 0:
             ve = jnp.where(in_range, entry_s[tile_c, p], 0.0)
 
@@ -352,9 +356,13 @@ def build_visit_groups(ids, entry, counts, budget: int, g: int, start=0):
     last = jnp.maximum(counts[tile_c] - 1, 0)
     vcs = []
     for kk in range(g):
-        idx = jnp.minimum(base + kk, last)
-        cl = ids[tile_c, jnp.clip(idx, 0, c - 1)]
-        vcs.append(jnp.where(in_range, cl, 0))
+        idx = base + kk
+        cl = ids[tile_c, jnp.clip(jnp.minimum(idx, last), 0, c - 1)]
+        # Padding sub-visits carry -1 and are PREDICATED OFF in the kernel.
+        # (They used to repeat the tile's last cluster — idempotent for the
+        # fold but paying the full per-pair tail, which erased the gain of
+        # finer clusters on sparse tiles.)
+        vcs.append(jnp.where(in_range & (idx <= last), cl, -1))
 
     visit_tile = jnp.where(in_range, tile_c, t)
     visit_first = (in_range & ((j == 0) | (v == start))).astype(jnp.int32)
@@ -402,12 +410,17 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
         # remaining groups cannot improve anything.
         @pl.when(is_real & (ve_ref[v] <= jnp.max(out_t_ref[0, 0, :])))
         def _():
-            rays = rays_ref[0]
+            rays = rays_ref[0]  # (8, R) — rays on LANES
             best_t = out_t_ref[0, 0, :]
             best_slot = out_slot_ref[0, 0, :]
-            # The per-pair VPU tail is the frame's dominant cost (~2.2 us
-            # per 768x128 cluster visit measured pre-golf), so every op
-            # counts:
+            # The per-pair VPU tail is the frame's dominant cost, so every
+            # op counts:
+            # * TRANSPOSED layout: the matmul contracts the shared 8-row
+            #   axis (W^T @ raysT), putting triangles on SUBLANES and rays
+            #   on LANES — the tail runs at full lane width for ANY k >= 8
+            #   (the row-major layout wasted lanes below k=128: measured
+            #   2.8x slower at k=64), which is what makes fine-grained
+            #   k=32 culling affordable;
             # * validity is ONE compare via q = min(u, v, 1-u-v) >= 0,
             # * "closer than carried best" is NOT tested per pair — the
             #   carried best rides the packed lane reduce as a (t | 2047)
@@ -417,27 +430,36 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
             # * t keeps the EXACT divide: a ~2^-17 approximate reciprocal
             #   was measured to leak 0.2% of hits at shared triangle edges
             #   (u/v fuzz breaks watertightness; both edge triangles reject
-            #   and the ray falls through to a farther surface).
-            # Pack (t | column) into one sortable i32: for t > 0 the f32
+            #   and the ray falls through to a farther surface),
+            # * -1 (padding) sub-visits are predicated off entirely.
+            # Pack (t | row) into one sortable i32: for t > 0 the f32
             # bit pattern is order-isomorphic to i32; the 11 low mantissa
-            # bits carry the group-local column (kk*k + lane).
+            # bits carry the group-local triangle index (kk*k + row).
             m = (jax.lax.bitcast_convert_type(best_t, jnp.int32)
                  & jnp.int32(~2047)) | 2047
-            for kk in range(g):
-                mm = jnp.dot(rays, w_refs[kk][0],
-                             preferred_element_type=jnp.float32)
-                opz = mm[:, 2 * k : 3 * k]
-                dpz = mm[:, 5 * k : 6 * k]
+
+            def fold(kk, m):
+                mm = jax.lax.dot_general(
+                    w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (6k, R)
+                opz = mm[2 * k : 3 * k]
+                dpz = mm[5 * k : 6 * k]
                 tt = -opz / dpz
-                u = mm[:, 0 * k : 1 * k] + tt * mm[:, 3 * k : 4 * k]
-                vv = mm[:, 1 * k : 2 * k] + tt * mm[:, 4 * k : 5 * k]
+                u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
+                vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
                 q = jnp.minimum(jnp.minimum(u, vv), 1.0 - u - vv)
                 ok = (q >= 0.0) & (tt > t_min)  # NaN/inf t or bary => false
-                col = jax.lax.broadcasted_iota(jnp.int32, (tile_r, k), 1)
+                row = jax.lax.broadcasted_iota(jnp.int32, (k, tile_r), 0)
                 packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | (
-                    col + kk * k)
+                    row + kk * k)
                 packed = jnp.where(ok, packed, jnp.int32(2**31 - 2))
-                m = jnp.minimum(m, jnp.min(packed, axis=1))
+                return jnp.minimum(m, jnp.min(packed, axis=0))
+
+            for kk in range(g):
+                m = jax.lax.cond(
+                    vc_refs[kk][v] >= 0,
+                    lambda mm_, kk=kk: fold(kk, mm_),
+                    lambda mm_: mm_, m)
             sel = m & 2047
             # Decode the winning cluster id among the g candidates (per-ray
             # selects are ~1/k of the per-pair tail — negligible).
@@ -470,14 +492,14 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
 
     def cluster_map(kk):
         def f(v, vt, vf, ve, *vcs):
-            return (vcs[kk][v], 0, 0)
+            return (jnp.maximum(vcs[kk][v], 0), 0, 0)  # -1 pad -> block 0
         return f
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 + g,  # tile / first / entry / g cluster ids
         grid=(budget,),
         in_specs=[
-            pl.BlockSpec((1, tile_r, 8), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
@@ -520,6 +542,7 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
 
     def kernel(*refs):
         vt_ref, vf_ref, ve_ref = refs[0], refs[1], refs[2]
+        vc_refs = refs[3 : 3 + g]
         rays_ref, tmax_ref, init_b_ref = (
             refs[3 + g], refs[4 + g], refs[5 + g]
         )
@@ -533,25 +556,35 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
         def _():
             out_b_ref[0, 0, :] = init_b_ref[0, 0, :]
 
-        tmaxv = tmax_ref[0, 0, :]
-        gate = jnp.max(jnp.where(out_b_ref[0, 0, :] == 1, -BIG, tmaxv))
+        # 2D shapes throughout: rank-1 where/max mixes trip a Mosaic layout
+        # check (layout.h implicit_dim) on sub-lane-width blocks.
+        gate = jnp.max(jnp.where(out_b_ref[0] == 1, -BIG, tmax_ref[0]))
 
         @pl.when(is_real & (ve_ref[v] <= gate))
         def _():
-            rays = rays_ref[0]
-            acc = out_b_ref[0, 0, :]
-            for kk in range(g):
-                mm = jnp.dot(rays, w_refs[kk][0],
-                             preferred_element_type=jnp.float32)
-                opz = mm[:, 2 * k : 3 * k]
-                dpz = mm[:, 5 * k : 6 * k]
+            rays = rays_ref[0]  # (8, R) — transposed layout, see _make_kernel
+            acc = out_b_ref[0]  # (1, R) — rank-2 through the cond carries
+            tmax2 = tmax_ref[0]  # (1, R)
+
+            def fold(kk, acc):
+                mm = jax.lax.dot_general(
+                    w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (6k, R)
+                opz = mm[2 * k : 3 * k]
+                dpz = mm[5 * k : 6 * k]
                 tt = -opz / dpz
-                u = mm[:, 0 * k : 1 * k] + tt * mm[:, 3 * k : 4 * k]
-                vv = mm[:, 1 * k : 2 * k] + tt * mm[:, 4 * k : 5 * k]
+                u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
+                vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
                 q = jnp.minimum(jnp.minimum(u, vv), 1.0 - u - vv)
-                ok = (q >= 0.0) & (tt > t_min) & (tt < tmaxv[:, None])
-                acc = jnp.where(jnp.any(ok, axis=1), 1, acc)
-            out_b_ref[0, 0, :] = acc
+                ok = (q >= 0.0) & (tt > t_min) & (tt < tmax2)
+                return jnp.where(jnp.any(ok, axis=0, keepdims=True), 1, acc)
+
+            for kk in range(g):
+                acc = jax.lax.cond(
+                    vc_refs[kk][v] >= 0,
+                    lambda a, kk=kk: fold(kk, a),
+                    lambda a: a, acc)
+            out_b_ref[0] = acc
 
     return kernel
 
@@ -568,14 +601,14 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
 
     def cluster_map(kk):
         def f(v, vt, vf, ve, *vcs):
-            return (vcs[kk][v], 0, 0)
+            return (jnp.maximum(vcs[kk][v], 0), 0, 0)  # -1 pad -> block 0
         return f
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 + g,
         grid=(budget,),
         in_specs=[
-            pl.BlockSpec((1, tile_r, 8), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
@@ -599,8 +632,10 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
 
 @partial(jax.jit, static_argnames=("tile_r", "budget", "g"))
 def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
-                   budget: int, bounds=None, g: int = VISIT_GROUP):
+                   budget: int, bounds=None, g: int | None = None):
     """(N,) bool — some triangle lies in (t_min, t_max[i])."""
+    if g is None:
+        g = max(1, 512 // cs.k)
     n = origins.shape[0]
     pad = (-n) % tile_r
     if pad:
@@ -632,9 +667,9 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,
          jnp.zeros((m, 1), jnp.float32)], axis=1,
-    ).reshape(tiles, tile_r, 8)
+    ).reshape(tiles, tile_r, 8).swapaxes(1, 2)  # (T, 8, R)
     rays8 = jnp.concatenate(
-        [rays8, jnp.zeros((1, tile_r, 8), jnp.float32)], axis=0
+        [rays8, jnp.zeros((1, 8, tile_r), jnp.float32)], axis=0
     )
     tmax3 = jnp.concatenate(
         [t_max.reshape(tiles, 1, tile_r),
@@ -690,8 +725,13 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
 
 @partial(jax.jit, static_argnames=("tile_r", "budget", "g"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
-            budget: int, bounds=None, g: int = VISIT_GROUP):
-    """(best_t, best_slot) over all rays (padded to whole tiles inside)."""
+            budget: int, bounds=None, g: int | None = None):
+    """(best_t, best_slot) over all rays (padded to whole tiles inside).
+
+    ``g`` (clusters folded per grid step) defaults to 512 // k so a step
+    always covers 512 triangles regardless of cluster granularity."""
+    if g is None:
+        g = max(1, 512 // cs.k)
     n = origins.shape[0]
     pad = (-n) % tile_r
     if pad:
@@ -722,9 +762,9 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,
          jnp.zeros((m, 1), jnp.float32)], axis=1,
-    ).reshape(tiles, tile_r, 8)
+    ).reshape(tiles, tile_r, 8).swapaxes(1, 2)  # (T, 8, R): rays on lanes
     rays8 = jnp.concatenate(  # dummy tile slot for padding visits
-        [rays8, jnp.zeros((1, tile_r, 8), jnp.float32)], axis=0
+        [rays8, jnp.zeros((1, 8, tile_r), jnp.float32)], axis=0
     )
     best_t = jnp.concatenate(
         [t_init.reshape(tiles, 1, tile_r), jnp.zeros((1, 1, tile_r), jnp.float32)]

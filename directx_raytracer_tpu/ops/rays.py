@@ -25,8 +25,13 @@ T_MIN = 0.001
 T_MAX = 10000.0
 
 
-def pick_tile(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
-    """Largest (th, tw) <= (tile_h, tile_w) dividing the image, or None."""
+def pick_tile(rows: int, width: int, tile_h: int = 8, tile_w: int = 32):
+    """Largest (th, tw) <= (tile_h, tile_w) dividing the image, or None.
+
+    8x32 pixel tiles (256 rays, = pallas_intersect.TILE_R): measured ~1.5x
+    fewer ray-triangle pairs than 24x32 at 1080p/100k (tighter frusta cut
+    silhouette overlap), ~1.7x fewer at 1M tris; 8 and 32 divide common
+    resolutions (1080 is not divisible by 16)."""
 
     def pick(total, want):
         for c in (want, 32, 24, 16, 12, 8, 6, 4, 3, 2):
@@ -143,7 +148,7 @@ def tile_frustum_bounds(position, rotation, width: int, height: int,
     }
 
 
-def tile_perm(rows: int, width: int, tile_h: int = 24, tile_w: int = 32):
+def tile_perm(rows: int, width: int, tile_h: int = 8, tile_w: int = 32):
     """Permutation regrouping row-major pixels into (tile_h x tile_w) tiles.
 
     Coherent square-ish ray tiles overlap ~10-30x fewer BVH clusters than
