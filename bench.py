@@ -91,6 +91,7 @@ def main():
     builder, fn_factory = best_intersect_fn()
     if builder is not None:
         bvh = builder(dscene.geometry)
+        dscene.geometry.accel = bvh  # jit argument, not closure constant
         intersect_fn = fn_factory(bvh)
 
     import jax.numpy as jnp
@@ -107,7 +108,8 @@ def main():
         def body(i, carry):
             p, acc = carry
             img = render_debug(dscene, p, rot, mode, WIDTH, HEIGHT,
-                               intersect_fn=intersect_fn)
+                               intersect_fn=intersect_fn,
+                               fetch_record=False)  # mode 5: distance only
             v = img[0, 0, 0]
             eps = jnp.where(jnp.isfinite(v), v, 0.0) * 0.0
             return p + eps, acc + v

@@ -5,6 +5,8 @@ are the renderer-facing API (drop-in for the brute-force defaults in
 render/whitted.py and render/debug.py).
 """
 
+import jax
+
 from .clustered import (
     ClusterSet,
     build_clusters,
@@ -21,14 +23,24 @@ from .traverse import traverse_closest, traverse_occluded
 
 
 class BVH:
-    """Production acceleration structure: Morton clusters + the planar Woop
-    operand consumed by the fused Pallas kernel.  (The per-node LBVH in
-    lbvh.py is the correctness oracle — per-ray pointer chasing is
-    gather-bound on TPU.)"""
+    """Production acceleration structure: treelet clusters + the planar
+    Woop operand consumed by the fused Pallas kernel.  (The per-node LBVH
+    in lbvh.py is the correctness oracle — per-ray pointer chasing is
+    gather-bound on TPU.)
+
+    Registered as a pytree so it can ride ``Geometry.accel`` through jit
+    as an argument (see models/scene.py)."""
 
     def __init__(self, clusters: ClusterSet, wplanar):
         self.clusters = clusters
         self.wplanar = wplanar
+
+
+jax.tree_util.register_pytree_node(
+    BVH,
+    lambda b: ((b.clusters, b.wplanar), None),
+    lambda aux, children: BVH(*children),
+)
 
 
 def build_bvh(geometry, k: int = 128) -> BVH:
@@ -38,33 +50,54 @@ def build_bvh(geometry, k: int = 128) -> BVH:
     return BVH(cs, planar_mats(cs))
 
 
-def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536):
+def _auto_tile_r(bvh: BVH) -> int:
+    """Ray-chunk size by scene scale: per-chunk binning work scales with
+    (chunks x clusters), so HUGE scenes trade per-chunk frustum tightness
+    for 3x fewer chunks (rays are tile-major, so a 768-ray chunk is just
+    three adjacent 8x32 pixel tiles — still coherent)."""
+    from .pallas_intersect import TILE_R
+
+    return 768 if bvh.clusters.aabb_min.shape[0] >= 4096 else TILE_R
+
+
+def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536,
+                          tile_r: int | None = None):
     """(origins, dirs, geometry) -> Hit, closing over a prebuilt BVH.
 
     ``use_pallas=False`` selects the pure-XLA clustered path (slower but
     runs everywhere, e.g. CPU tests without interpret mode)."""
+    tile_r = tile_r or _auto_tile_r(bvh)
 
     if use_pallas:
         def intersect(origins, dirs, geometry, tile_bounds=None):
-            return intersect_pallas(origins, dirs, bvh.clusters, bvh.wplanar,
-                                    bounds=tile_bounds)
+            # Prefer the geometry-bound accel (a jit ARGUMENT); the closure
+            # fallback embeds the arrays as compile-time constants, which
+            # breaks past ~200 MB of operand (see Geometry.accel).
+            b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
+            return intersect_pallas(origins, dirs, b.clusters, b.wplanar,
+                                    bounds=tile_bounds, tile_r=tile_r)
     else:
         def intersect(origins, dirs, geometry, tile_bounds=None):
-            return intersect_clustered(origins, dirs, bvh.clusters, block=block)
+            b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
+            return intersect_clustered(origins, dirs, b.clusters, block=block)
 
     return intersect
 
 
-def make_bvh_occluder_factory(bvh: BVH, use_pallas: bool = True, block: int = 1536):
+def make_bvh_occluder_factory(bvh: BVH, use_pallas: bool = True, block: int = 1536,
+                              tile_r: int | None = None):
     """geometry -> (origins, dirs, max_t) -> bool occluder for shadow rays."""
+    tile_r = tile_r or _auto_tile_r(bvh)
 
     def factory(geometry):
+        b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
         if use_pallas:
             def occluded(origins, dirs, max_t):
-                return occluded_pallas(origins, dirs, bvh.clusters, bvh.wplanar, max_t)
+                return occluded_pallas(origins, dirs, b.clusters,
+                                       b.wplanar, max_t, tile_r=tile_r)
         else:
             def occluded(origins, dirs, max_t):
-                return occluded_clustered(origins, dirs, bvh.clusters, max_t, block=block)
+                return occluded_clustered(origins, dirs, b.clusters, max_t, block=block)
 
         return occluded
 

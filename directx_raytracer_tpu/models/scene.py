@@ -118,6 +118,14 @@ class Geometry:
     #              interleaved guaranteed-miss padding; BVH slot == id)
     n_real_tris: int  # true parsed triangle count (stats / tests)
     morton_sorted: bool  # triangles stored in BVH cluster order (slot == id)
+    # Optional acceleration structure (bvh.BVH pytree) BOUND to the
+    # geometry: riding the pytree makes the BVH a jit ARGUMENT of render
+    # functions instead of a closure constant — closed-over arrays embed in
+    # the HLO as literals, and a 1M-triangle planar Woop operand (~200 MB)
+    # overflows the remote compiler's request limit (the reference binds
+    # its TLAS as a root-signature resource for the same reason,
+    # DXRTRenderer.cpp:809-863).  Set by renderers: geometry.accel = bvh.
+    accel: object = None
 
 
 _register(Geometry, meta=("n_tris", "n_real_tris", "morton_sorted"))

@@ -41,7 +41,8 @@ def untile(flat, width: int, height: int, tile):
     )
 
 
-@partial(jax.jit, static_argnames=("width", "height", "intersect_fn"))
+@partial(jax.jit, static_argnames=("width", "height", "intersect_fn",
+                                   "fetch_record"))
 def render_debug(
     dscene: DeviceScene,
     cam_position,
@@ -50,6 +51,7 @@ def render_debug(
     width: int,
     height: int,
     intersect_fn=None,
+    fetch_record: bool = True,
 ):
     """Render one debug-shaded frame.
 
@@ -59,6 +61,10 @@ def render_debug(
       mode: i32 scalar 0..6 (traced — no recompile on change).
       intersect_fn: optional override (e.g. the BVH intersector) with the
         signature (origins, dirs, geometry) -> Hit; defaults to brute force.
+      fetch_record: STATIC — fetch the fused hit record (exact t/u/v + ids,
+        needed by modes 0-3).  Callers that know the mode as a Python int
+        pass ``mode <= 3`` to skip the frame's costliest gather for the
+        distance/height/checker modes.
 
     Returns:
       (H, W, 3) f32 image in [0, 1].
@@ -82,21 +88,20 @@ def render_debug(
 
     # Modes 4-6 consume only the hit distance; the fused-record gather +
     # exact re-intersection exists for ids (modes 0-2) and barycentrics
-    # (mode 3).  The row gather is ~40 ms at 2M rays — the costliest single
-    # op in the frame — so fetch it under a scalar cond: mode stays traced
-    # (no recompile on switch, reference parity with the debug CB), yet
-    # distance/height/checker frames skip the gather entirely (their t is
-    # the kernel's packed value, within ~1e-4 relative).
-    def with_record(_):
-        h2, local_id, mesh_id, _, _ = hit_record(origins, dirs, geo.packed, hit)
-        return h2.t, h2.u, h2.v, local_id, mesh_id
-
-    def without_record(_):
+    # (mode 3).  The row gather is the costliest single op in the frame
+    # (~40 ms at 2M rays / 100k tris, ~150 ms at 1M tris), so it is gated
+    # by the STATIC ``fetch_record`` flag: callers that know the mode as a
+    # Python int (viewer, bench) pass ``mode <= 3`` and get two cached
+    # compiled variants — still no recompile when browsing modes.  (A
+    # traced lax.cond was tried first: XLA executed the untaken gather
+    # branch regardless, costing a full second at 1M triangles.)
+    if fetch_record:
+        hit2, local_id, mesh_id, _, _ = hit_record(origins, dirs, geo.packed,
+                                                   hit)
+        t, u, v = hit2.t, hit2.u, hit2.v
+    else:
         zero = jnp.zeros_like(hit.t, dtype=jnp.int32)
-        return hit.t, hit.u, hit.v, zero, zero
-
-    t, u, v, local_id, mesh_id = jax.lax.cond(
-        mode <= 3, with_record, without_record, None)
+        t, u, v, local_id, mesh_id = hit.t, hit.u, hit.v, zero, zero
 
     color = shade_debug(mode, origins, dirs, t, u, v, local_id, mesh_id)
     miss = jnp.array(MISS_COLOR, jnp.float32)

@@ -96,6 +96,9 @@ class Renderer:
             log.info("BVH: %d tris -> %d clusters in %.2fs (pallas=%s)",
                      n_tris, self.bvh.clusters.aabb_min.shape[0],
                      time.perf_counter() - t0, use_pallas)
+            # Bind the accel to the geometry so it rides jit as an ARGUMENT
+            # (closure constants overflow the remote compiler at ~1M tris).
+            self.dscene.geometry.accel = self.bvh
             self.intersect_fn = make_bvh_intersect_fn(self.bvh, use_pallas=use_pallas)
             self.occluder_factory = make_bvh_occluder_factory(self.bvh, use_pallas=use_pallas)
         else:
@@ -116,6 +119,7 @@ class Renderer:
         img = render_debug(
             self.dscene, pos, rot, jnp.int32(mode), self.width, self.height,
             intersect_fn=self.intersect_fn,
+            fetch_record=(mode <= 3),  # static: 2 cached variants
         )
         self.stats.tick(self.width * self.height)
         return img

@@ -131,15 +131,15 @@ def main():
 
     # ---- per-phase timings (production config) -----------------------------
     for k in (128, 64, 32):
-        bin_stats(geo, pos, rot, k, 24, 32, VISIT_GROUP)
+        bin_stats(geo, pos, rot, k, 8, 32, VISIT_GROUP)
 
     bvh = build_bvh(geo)
     cs, w = bvh.clusters, bvh.wplanar
-    o, d = generate_rays_tiled(pos, rot, WIDTH, HEIGHT, 24, 32)
+    o, d = generate_rays_tiled(pos, rot, WIDTH, HEIGHT, 8, 32)
     tiles = o.shape[0] // TILE_R
     ot = o.reshape(tiles, TILE_R, 3)
     dt_ = d.reshape(tiles, TILE_R, 3)
-    bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, 24, 32)
+    bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, 8, 32)
     n = o.shape[0]
     t_init = jnp.full((n,), 10000.0, jnp.float32)
     packed = jnp.asarray(geo.packed)
@@ -164,7 +164,7 @@ def main():
         return ve[0]
 
     def ph_search(eps, *a):
-        bt, bs = _search(o + eps, d, t_init, cs, w, TILE_R, 16384,
+        bt, bs = _search(o + eps, d, t_init, cs, w, TILE_R, 10240,
                          bounds=bounds)
         return bt[0]
 
