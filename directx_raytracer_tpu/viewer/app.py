@@ -85,16 +85,21 @@ def cmd_orbit(args):
 
     r = _build_renderer(args)
     target = np.zeros(3, np.float32)
-    np.asarray(_frame(r, args))  # compile outside the timed loop
+    np.asarray(_frame_device(r, args))  # compile outside the timed loop
     profile_cm = (jax.profiler.trace(args.profile) if args.profile
                   else contextlib.nullcontext())
     t0 = time.perf_counter()
     with profile_cm:
+        # Frames stay ON DEVICE as u8 and dispatch asynchronously: without
+        # --output, the loop measures render throughput (one final sync),
+        # not the tunnel — a 1080p f32 framebuffer through the remote
+        # tunnel costs ~1 s/frame by itself.  With --output, only the 4x
+        # smaller u8 image crosses per frame.
         for i in range(args.frames):
-            img = _frame(r, args)
+            img = _frame_device(r, args)
             if args.output:
                 write_png(args.output % i if "%" in args.output
-                          else f"{args.output}.{i:04d}.png", img)
+                          else f"{args.output}.{i:04d}.png", np.asarray(img))
             r.camera.pan_around_target(360.0 / args.frames, target)
         np.asarray(img)  # final sync
     dt = time.perf_counter() - t0
