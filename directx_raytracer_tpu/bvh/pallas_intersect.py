@@ -159,45 +159,22 @@ def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
 
 
 
-SUPER_C = 16  # clusters per supercluster (two-level binning)
-# Cluster count above which the two-level binner engages (the flat binner's
-# per-tile sort costs T x C keys; the two-level builder's element gathers
-# cost ~budget x log S regardless of C).  DXRT_HIER_MIN_C overrides for
-# experiments.
-HIER_MIN_C = int(__import__("os").environ.get("DXRT_HIER_MIN_C", 2048))
+def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
+    """Sort-free binning: per-tile overlap as 32-bit occupancy WORDS.
 
+    The sorted binners' near-to-far order was measured to save ~1% (the
+    group early-out almost never fires on tiles containing miss rays), but
+    the per-tile sort costs T x C keys — the single biggest XLA-side item
+    (~10 ms at 8100 tiles x 1024 clusters, tens of ms at 1M triangles).
+    Here culling stays a pure elementwise slab pass; overlap packs into
+    (T, C/32) i32 words with per-word popcounts, and the visit builder
+    walks (word, set bit) in Morton order.  One binner for ALL scene
+    sizes — costs scale with T x C elementwise plus budget-sized gathers.
 
-def bin_clusters_hier(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
-                      sc: int = SUPER_C):
-    """Two-level frustum binning for BIG scenes (the reference's BLAS/TLAS
-    split, DXRTRenderer.cpp:548-806, reimagined for tile-uniform culling).
-
-    The flat binner's per-tile near-to-far SORT scales with T x C keys
-    (~22M at 1M triangles — tens of ms).  Here the sort runs at SUPERCLUSTER
-    granularity only (C/16 keys per tile); cluster-level culling stays a
-    pure elementwise slab pass whose per-super results are packed into a
-    16-bit occupancy mask, and the visit builder walks (super rank, set
-    bit) instead of a sorted cluster list.  Clusters lose exact global
-    near-to-far order (they order by super entry, Morton within a super) —
-    measured harmless: the group early-out fires on tile convergence, which
-    super ordering preserves.
-
-    Returns (sids, cnt_s, bits_s, entry_s, counts): all (T, S) in sorted
-    super order + per-tile total overlapping-cluster counts.
+    Returns (words (T, W) i32, cum (T, W) i32 running popcounts,
+    entry (T, C) f32 conservative entries (for the group early-out),
+    counts (T,)).
     """
-    tiles = origins.shape[0]
-    c = cs.aabb_min.shape[0]
-    s = -(-c // sc)
-    pad = s * sc - c
-    a_min, a_max = cs.aabb_min, cs.aabb_max
-    if pad:
-        a_min = jnp.concatenate(
-            [a_min, jnp.full((pad, 3), jnp.inf, a_min.dtype)])
-        a_max = jnp.concatenate(
-            [a_max, jnp.full((pad, 3), -jnp.inf, a_max.dtype)])
-    sup_lo = a_min.reshape(s, sc, 3).min(axis=1)
-    sup_hi = a_max.reshape(s, sc, 3).max(axis=1)
-
     if bounds is not None:
         o_lo, o_hi = bounds["o_lo"], bounds["o_hi"]
         d_lo, d_hi = bounds["d_lo"], bounds["d_hi"]
@@ -208,55 +185,61 @@ def bin_clusters_hier(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
         d_lo = dirs.min(axis=1)
         d_hi = dirs.max(axis=1)
 
-    def slab(lo_box, hi_box):
-        entry = jnp.full((tiles, lo_box.shape[0]), -BIG)
-        exit_ = jnp.full_like(entry, BIG)
-        for ax in range(3):
-            n_lo = lo_box[None, :, ax] - o_hi[:, None, ax]
-            n_hi = hi_box[None, :, ax] - o_lo[:, None, ax]
-            i_lo, i_hi = _interval_inv(d_lo[:, None, ax], d_hi[:, None, ax])
-            prods = jnp.stack(
-                [n_lo * i_lo, n_lo * i_hi, n_hi * i_lo, n_hi * i_hi], axis=0)
-            prods = jnp.clip(prods, -BIG, BIG)
-            entry = jnp.maximum(entry, prods.min(axis=0))
-            exit_ = jnp.minimum(exit_, prods.max(axis=0))
-        return entry, exit_
+    tiles = origins.shape[0]
+    c = cs.aabb_min.shape[0]
+    entry = jnp.full((tiles, c), -BIG)
+    exit_ = jnp.full_like(entry, BIG)
+    for ax in range(3):
+        n_lo = cs.aabb_min[None, :, ax] - o_hi[:, None, ax]
+        n_hi = cs.aabb_max[None, :, ax] - o_lo[:, None, ax]
+        i_lo, i_hi = _interval_inv(d_lo[:, None, ax], d_hi[:, None, ax])
+        prods = jnp.stack(
+            [n_lo * i_lo, n_lo * i_hi, n_hi * i_lo, n_hi * i_hi], axis=0)
+        prods = jnp.clip(prods, -BIG, BIG)
+        entry = jnp.maximum(entry, prods.min(axis=0))
+        exit_ = jnp.minimum(exit_, prods.max(axis=0))
 
-    e_s, x_s = slab(sup_lo, sup_hi)  # (T, S)
-    e_c, x_c = slab(a_min, a_max)  # (T, S*sc) — elementwise only, no sort
-    valid = cs.valid
-    if pad:
-        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
-    ov_c = ((e_c <= x_c) & (x_c >= t_min)
-            & valid[None, :]).reshape(tiles, s, sc)
-    cnt = ov_c.sum(axis=-1).astype(jnp.int32)  # (T, S)
-    bits = (ov_c.astype(jnp.int32)
-            << jnp.arange(sc, dtype=jnp.int32)[None, None, :]).sum(-1)
-
-    key = jnp.where(cnt > 0, jnp.maximum(e_s, t_min), INF)
+    overlap = (entry <= exit_) & (exit_ >= t_min) & cs.valid[None, :]
+    entry = jnp.maximum(entry, t_min)
     if bounds is not None and "len_hi" in bounds:
-        key = jnp.where(jnp.isfinite(key), key / bounds["len_hi"][:, None],
-                        key)
-    sid = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (tiles, s))
-    key_s, sid_s, cnt_s, bits_s = jax.lax.sort(
-        (key, sid, cnt, bits), dimension=1, num_keys=1)
-    counts = cnt.sum(axis=1)
-    return sid_s, cnt_s, bits_s, key_s, counts
+        entry = entry / bounds["len_hi"][:, None]
+
+    pad = (-c) % 32
+    if pad:
+        overlap = jnp.concatenate(
+            [overlap, jnp.zeros((tiles, pad), bool)], axis=1)
+    w = overlap.shape[1] // 32
+    bits = overlap.reshape(tiles, w, 32).astype(jnp.int32)
+    words = (bits << jnp.arange(32, dtype=jnp.int32)[None, None, :]).sum(-1)
+    cnt_w = jax.lax.population_count(words)
+    cum = jnp.cumsum(cnt_w, axis=1)
+    counts = cnt_w.sum(axis=1)
+    return words, cum, entry, counts
 
 
-def build_visit_groups_hier(sid_s, cnt_s, bits_s, entry_s, counts,
-                            budget: int, g: int, sc: int = SUPER_C, start=0):
-    """Grouped visit arrays from two-level binning output — same contract
-    as build_visit_groups (the kernel is oblivious to which binner ran).
+def _nth_set_bit(word, n):
+    """Index of the n-th (0-based) set bit of each 32-bit word (vectorized
+    popcount binary descent)."""
+    bit = jnp.zeros_like(n)
+    rem = n
+    cur = word
+    for width in (16, 8, 4, 2, 1):
+        low = cur & jnp.int32((1 << width) - 1)
+        c_low = jax.lax.population_count(low)
+        go_high = rem >= c_low
+        rem = jnp.where(go_high, rem - c_low, rem)
+        bit = jnp.where(go_high, bit + width, bit)
+        cur = jnp.where(go_high, cur >> width, low)
+    return bit
 
-    Per visit slot: the per-tile group index comes from the usual
-    searchsorted over group offsets; the cluster rank within the tile then
-    maps to (super rank, ordinal) by a manual binary search over the
-    per-tile running super counts (element gathers scale with the BUDGET,
-    not with C — that's the whole point), and the ordinal picks the o-th
-    set bit of the super's 16-bit occupancy mask.
-    """
-    t, s = sid_s.shape
+
+def build_visit_groups_bits(words, cum, entry, counts, budget: int, g: int,
+                            start=0):
+    """Grouped visit arrays from bit-walk binning — same contract as
+    build_visit_groups.  Gather volume scales with the BUDGET (a binary
+    search over each tile's ~C/32 running word popcounts per sub-visit),
+    never with C."""
+    t, w = words.shape
     start = jnp.asarray(start, jnp.int32)
     g_counts = (counts + g - 1) // g
     ends = jnp.cumsum(g_counts)
@@ -272,40 +255,33 @@ def build_visit_groups_hier(sid_s, cnt_s, bits_s, entry_s, counts,
     base = j * g
     last = jnp.maximum(counts[tile_c] - 1, 0)
 
-    cum = jnp.cumsum(cnt_s, axis=1)  # (T, S) running cluster counts
-    nbits = max((s - 1).bit_length(), 1)
+    nbits = max((w - 1).bit_length(), 1)
 
-    def super_of(r):
-        """Smallest p with cum[tile, p] > r (the containing super rank)."""
+    def word_of(r):
+        """Smallest p with cum[tile, p] > r."""
         lo = jnp.zeros_like(r)
         for b in reversed(range(nbits)):
             cand = lo + (1 << b)
-            val = cum[tile_c, jnp.minimum(cand, s) - 1]
-            lo = jnp.where((cand <= s) & (val <= r), cand, lo)
-        return jnp.minimum(lo, s - 1)
+            val = cum[tile_c, jnp.minimum(cand, w) - 1]
+            lo = jnp.where((cand <= w) & (val <= r), cand, lo)
+        return jnp.minimum(lo, w - 1)
 
     vcs = []
     ve = None
     for kk in range(g):
         r = jnp.minimum(base + kk, last)
-        p = super_of(r)
+        p = word_of(r)
         before = jnp.where(p > 0, cum[tile_c, jnp.maximum(p - 1, 0)], 0)
-        o = r - before  # ordinal within the super, 0..sc-1
-        m = bits_s[tile_c, p]
-        sid = sid_s[tile_c, p]
-        # index of the o-th set bit of m
-        bit = jnp.full_like(r, -1)
-        run = jnp.zeros_like(r)
-        for bb in range(sc):
-            isset = (m >> bb) & 1
-            found = (isset == 1) & (run == o) & (bit < 0)
-            bit = jnp.where(found, bb, bit)
-            run = run + isset
-        cl = sid * sc + jnp.maximum(bit, 0)
-        vcs.append(jnp.where(in_range & (base + kk <= last), cl, -1))
-        if kk == 0:
-            ve = jnp.where(in_range, entry_s[tile_c, p], 0.0)
+        cl = p * 32 + _nth_set_bit(words[tile_c, p], r - before)
+        valid_kk = in_range & (base + kk <= last)
+        vcs.append(jnp.where(valid_kk, cl, -1))
+        e = entry[tile_c, jnp.minimum(cl, entry.shape[1] - 1)]
+        # Unordered groups: the early-out needs the MIN entry over the
+        # group's clusters to stay conservative.
+        e = jnp.where(valid_kk, e, BIG)
+        ve = e if ve is None else jnp.minimum(ve, e)
 
+    ve = jnp.where(in_range, jnp.where(jnp.isfinite(ve), ve, 0.0), 0.0)
     visit_tile = jnp.where(in_range, tile_c, t)
     visit_first = (in_range & ((j == 0) | (v == start))).astype(jnp.int32)
     return visit_tile, vcs, visit_first, ve, remaining
@@ -651,18 +627,13 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
 
     ot = origins.reshape(tiles, tile_r, 3)
     dt = dirs.reshape(tiles, tile_r, 3)
-    if cs.aabb_min.shape[0] >= HIER_MIN_C:  # static: big scene, 2-level bin
-        binned = bin_clusters_hier(ot, dt, cs, bounds=bounds)
-        counts = binned[4]
+    # Sort-free bit-walk binning (see bin_clusters_bits) — one path for
+    # all scene sizes.
+    words, cum, entry, counts = bin_clusters_bits(ot, dt, cs, bounds=bounds)
 
-        def make_groups(start):
-            return build_visit_groups_hier(*binned, budget, g, start=start)
-    else:
-        ids, entry, counts = bin_clusters(ot, dt, cs, bounds=bounds)
-
-        def make_groups(start):
-            return build_visit_groups(ids, entry, counts, budget, g,
-                                      start=start)
+    def make_groups(start):
+        return build_visit_groups_bits(words, cum, entry, counts, budget, g,
+                                       start=start)
 
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,
@@ -746,18 +717,13 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
 
     ot = origins.reshape(tiles, tile_r, 3)
     dt = dirs.reshape(tiles, tile_r, 3)
-    if cs.aabb_min.shape[0] >= HIER_MIN_C:  # static: big scene, 2-level bin
-        binned = bin_clusters_hier(ot, dt, cs, bounds=bounds)
-        counts = binned[4]
+    # Sort-free bit-walk binning (see bin_clusters_bits) — one path for
+    # all scene sizes.
+    words, cum, entry, counts = bin_clusters_bits(ot, dt, cs, bounds=bounds)
 
-        def make_groups(start):
-            return build_visit_groups_hier(*binned, budget, g, start=start)
-    else:
-        ids, entry, counts = bin_clusters(ot, dt, cs, bounds=bounds)
-
-        def make_groups(start):
-            return build_visit_groups(ids, entry, counts, budget, g,
-                                      start=start)
+    def make_groups(start):
+        return build_visit_groups_bits(words, cum, entry, counts, budget, g,
+                                       start=start)
 
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,

@@ -61,23 +61,24 @@ def generate_rays_tiled(position, rotation, width: int, height: int,
     offset = jnp.asarray(offset, jnp.float32)
     rows = height if rows is None else rows
     ty_n, tx_n = rows // tile_h, width // tile_w
+    n = ty_n * tx_n * tile_h * tile_w
 
-    ty = jnp.arange(ty_n, dtype=jnp.float32).reshape(ty_n, 1, 1, 1)
-    tx = jnp.arange(tx_n, dtype=jnp.float32).reshape(1, tx_n, 1, 1)
-    ry = jnp.arange(tile_h, dtype=jnp.float32).reshape(1, 1, tile_h, 1)
-    rx = jnp.arange(tile_w, dtype=jnp.float32).reshape(1, 1, 1, tile_w)
-    py = ty * tile_h + ry + row_start
-    px = tx * tile_w + rx
+    # FLAT (N,) arithmetic throughout: 4D (ty, tx, th, tw) broadcasts keep
+    # the minor dim at tile_w (< 128 lanes) and measured ~6 ms of layout
+    # waste at 2M rays; decomposing the tile-major flat index with integer
+    # div/mod runs every op at full lane width (~1 ms).
+    i = jnp.arange(n, dtype=jnp.int32)
+    rx = i % tile_w
+    t1 = i // tile_w
+    ry = t1 % tile_h
+    t2 = t1 // tile_h
+    tx = t2 % tx_n
+    ty = t2 // tx_n
+    px = (tx * tile_w + rx).astype(jnp.float32)
+    py = (ty * tile_h + ry).astype(jnp.float32) + row_start
 
-    x = (px + offset[0]) / width
-    y = (py + offset[1]) / height
-    x = 2.0 * x - 1.0
-    y = 1.0 - 2.0 * y
-    x = x * (width / height)
-
-    shape = (ty_n, tx_n, tile_h, tile_w)
-    x = jnp.broadcast_to(x, shape)
-    y = jnp.broadcast_to(y, shape)
+    x = (2.0 * ((px + offset[0]) / width) - 1.0) * (width / height)
+    y = 1.0 - 2.0 * ((py + offset[1]) / height)
     # Rotation as unrolled component math: a (2M, 3) @ (3, 3) einsum pads
     # the 3-wide operand onto 128 MXU lanes and measures ~8 ms/frame; nine
     # scalar-broadcast FMAs on the VPU are exact f32 and ~free.
@@ -88,8 +89,8 @@ def generate_rays_tiled(position, rotation, width: int, height: int,
     wz = rotation[2, 0] * dx + rotation[2, 1] * dy + rotation[2, 2] * dz
     wlen = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz)
     dir_world = jnp.stack([wx * wlen, wy * wlen, wz * wlen], axis=-1)
-    origins = jnp.broadcast_to(position, shape + (3,))
-    return origins.reshape(-1, 3), dir_world.reshape(-1, 3)
+    origins = jnp.broadcast_to(position, (n, 3))
+    return origins, dir_world
 
 
 def tile_frustum_bounds(position, rotation, width: int, height: int,

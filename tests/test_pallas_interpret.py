@@ -90,15 +90,17 @@ def test_visit_budget_overflow_keeps_hits(scene_geo, rays):
     np.testing.assert_array_equal(np.asarray(full.t), np.asarray(tiny.t))
 
 
-def test_hier_binning_matches_flat(monkeypatch):
-    """Two-level (supercluster) binning produces identical hits to the flat
-    binner, including through the budget-overflow relaunch loop."""
+def test_bitwalk_binning_matches_xla_walker():
+    """The production (sort-free bit-walk) binning path produces the same
+    hits as the independent XLA clustered walker, including through the
+    budget-overflow relaunch loop."""
     import jax.numpy as jnp
     import numpy as np
 
     from directx_raytracer_tpu import testscenes
     from directx_raytracer_tpu.bvh import build_bvh
     from directx_raytracer_tpu.bvh import pallas_intersect as pi
+    from directx_raytracer_tpu.bvh.clustered import intersect_clustered, occluded_clustered
     from directx_raytracer_tpu.models.scene import build_device_scene
     from directx_raytracer_tpu.ops.rays import generate_rays_tiled
 
@@ -108,19 +110,14 @@ def test_hier_binning_matches_flat(monkeypatch):
     o, dd = generate_rays_tiled(jnp.asarray(pos), jnp.asarray(rot), 48, 32,
                                 8, 8)
     bvh = build_bvh(d.geometry)
-    flat = pi.intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=64,
-                               refine=True)
-    monkeypatch.setattr(pi, "HIER_MIN_C", 1)
-    hier = pi.intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=64,
-                               budget=64, refine=True)  # forces overflow too
-    np.testing.assert_array_equal(np.asarray(flat.tri), np.asarray(hier.tri))
-    np.testing.assert_allclose(np.asarray(flat.t), np.asarray(hier.t),
+    ref = intersect_clustered(o, dd, bvh.clusters)
+    got = pi.intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=64,
+                              budget=64, refine=True)  # forces overflow too
+    np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(got.t),
                                rtol=1e-5)
     tmax = jnp.full((o.shape[0],), 25.0)
+    occ_ref = np.asarray(occluded_clustered(o, dd, bvh.clusters, tmax))
     occ = np.asarray(pi.occluded_pallas(o, dd, bvh.clusters, bvh.wplanar,
                                         tmax, tile_r=64))
-    monkeypatch.setattr(pi, "HIER_MIN_C", 10**9)
-    pi.occluded_pallas.clear_cache()  # same shapes would hit the jit cache
-    occ_flat = np.asarray(pi.occluded_pallas(o, dd, bvh.clusters,
-                                             bvh.wplanar, tmax, tile_r=64))
-    np.testing.assert_array_equal(occ, occ_flat)
+    np.testing.assert_array_equal(occ, occ_ref)
