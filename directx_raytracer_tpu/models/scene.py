@@ -549,11 +549,16 @@ def build_light_table(scene: Scene) -> LightTable:
 
 
 def build_device_scene(scene: Scene, base_dir: str = ".", tri_pad: int = TRI_PAD) -> DeviceScene:
-    """Flatten a host Scene into the device SoA pytree (numpy arrays; JAX
-    moves them to HBM on first use — the analog of the one-time geometry
-    upload at DXRTRenderer.cpp:302-453, minus the per-mesh fence stalls)."""
+    """Flatten a host Scene into the device SoA pytree — the analog of the
+    one-time geometry upload at DXRTRenderer.cpp:302-453, minus the
+    per-mesh fence stalls.
+
+    The pytree is device_put ONCE here: numpy leaves passed as jit
+    arguments are re-uploaded on EVERY call (jit only skips pruned/unused
+    leaves), and through a remote-device tunnel a 21 MB record table costs
+    ~100 ms per frame of silent re-transfer."""
     materials = build_material_table(scene)
-    return DeviceScene(
+    dscene = DeviceScene(
         geometry=build_geometry(scene.meshes, tri_pad,
                                 mat_rows=np.asarray(materials.packed)[:, :9]),
         materials=materials,
@@ -568,3 +573,4 @@ def build_device_scene(scene: Scene, base_dir: str = ".", tri_pad: int = TRI_PAD
             m.type == MaterialType.REFRACTIVE for m in scene.materials
         ),
     )
+    return jax.device_put(dscene)
