@@ -37,7 +37,7 @@ from ..ops.intersect import hit_record
 from ..ops.rays import generate_rays, generate_rays_tiled, pick_tile
 from ..ops.shading import RAY_BIAS, FOUR_PI, SHADOW_BIAS, hit_attributes, reflect, refract_fresnel
 from .debug import untile
-from .whitted import _compact, _default_intersect, _default_occluder
+from .whitted import _compact_sort, _default_intersect, _default_occluder
 
 MIN_THROUGHPUT = 5e-3
 RR_START = 3  # first bounce applying Russian roulette
@@ -171,17 +171,9 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
         "pixel": pixel,
         "active": cont,
     }
-    new_state, n_alive, _ = _compact(cand, capacity)
-    # Parked direction: strictly positive components (see whitted.py — a
-    # zero span makes the binner visit every cluster for parked tiles).
-    parked = ~new_state["active"]
-    new_state["origins"] = jnp.where(parked[:, None], 1e30, new_state["origins"])
-    new_state["dirs"] = jnp.where(parked[:, None], jnp.array([1.0, 1.0, 1.0]),
-                                  new_state["dirs"])
-    new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
-    from .whitted import sort_wavefront
-
-    new_state = sort_wavefront(new_state, geo.scene_lo, geo.scene_hi)
+    # Fused compaction + coherence sort + parking (see whitted._compact_sort).
+    new_state, n_alive, _ = _compact_sort(cand, capacity, geo.scene_lo,
+                                          geo.scene_hi)
     return new_state, radiance, n_alive
 
 

@@ -65,47 +65,34 @@ def _default_occluder(geo):
     return occluder
 
 
-def _compact(cand: dict, capacity: int):
-    """Stable-compact candidate rays (size 2Q) into a queue of ``capacity``.
+def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
+                  split_at: int | None = None):
+    """Compact + coherence-sort candidate rays into a queue of ``capacity``
+    with ONE key sort and ONE wide gather.
 
-    Returns (queue, n_alive, n_dropped).  Uses a cumsum prefix to compute
-    each survivor's slot and a scatter with mode='drop' for out-of-bounds
-    (overflowing) slots — no dynamic shapes anywhere.
+    Replaces the old two-step pipeline (cumsum-prefix compaction via four
+    row SCATTERS, then a separate coherence sort with its own gather) —
+    row scatters/gathers are the costliest op class on TPU, so halving
+    them cuts ~40 ms per bounce at 1M-candidate queues.
+
+    Sort key, most- to least-significant: inactive (parked last, dropped
+    by truncation first) | droppable branch (candidate indices >=
+    ``split_at``, the Fresnel-reflection half — overflow drops it before
+    the transmission half) | direction octant (3b) | origin Morton cell
+    (24b).  Coherent tiles for the binned intersector fall out of the
+    (octant, Morton) order as before.
+
+    Returns (queue, n_alive, n_dropped).
     """
-    mask = cand["active"]
-    pos = jnp.cumsum(mask) - 1  # slot per candidate
-    n_alive = jnp.sum(mask)
-    idx = jnp.where(mask, pos, 2 * capacity)  # parked OOB => dropped
-
-    def scatter(v):
-        out_shape = (capacity,) + v.shape[1:]
-        return jnp.zeros(out_shape, v.dtype).at[idx].set(v, mode="drop")
-
-    queue = {k: scatter(v) for k, v in cand.items() if k != "active"}
-    queue["active"] = jnp.arange(capacity) < n_alive
-    return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
-
-
-def sort_wavefront(state, scene_lo, scene_hi):
-    """Re-order a compacted wavefront for ray coherence.
-
-    After one bounce, consecutive queue slots descend from neighbouring
-    pixels but point anywhere — a 768-ray tile then overlaps a large slice
-    of the BVH and the binned intersector's advantage collapses (measured:
-    ~40% of a Whitted frame).  Sorting by (active, direction octant, origin
-    Morton cell) re-forms tight tiles.  The whole SoA state moves through
-    ONE wide (Q, 12) gather (narrow per-field gathers are ~35 ms each at
-    2M rays).  Inactive slots sort last, so ``active == arange < n_alive``
-    stays true.
-    """
-    o = state["origins"]
-    d = state["dirs"]
-    q = o.shape[0]
+    o = cand["origins"]
+    d = cand["dirs"]
+    q2 = o.shape[0]
+    active = cand["active"]
 
     ext = jnp.maximum(scene_hi - scene_lo, 1e-12)
-    cell = jnp.clip((o - scene_lo) / ext * 512.0, 0.0, 511.0).astype(jnp.int32)
-    morton = jnp.zeros((q,), jnp.int32)
-    for bit in range(9):
+    cell = jnp.clip((o - scene_lo) / ext * 256.0, 0.0, 255.0).astype(jnp.int32)
+    morton = jnp.zeros((q2,), jnp.int32)
+    for bit in range(8):
         for ax in range(3):
             morton = morton | (((cell[:, ax] >> bit) & 1) << (3 * bit + ax))
     octant = (
@@ -113,22 +100,34 @@ def sort_wavefront(state, scene_lo, scene_hi):
         | ((d[:, 1] > 0).astype(jnp.int32) << 1)
         | (d[:, 2] > 0).astype(jnp.int32)
     )
-    key = (octant << 27) | morton
-    key = jnp.where(state["active"], key, jnp.int32(2**30))
+    key = (octant << 24) | morton
+    if split_at is not None:
+        key = key | ((jnp.arange(q2, dtype=jnp.int32) >= split_at) << 27)
+    key = jnp.where(active, key, jnp.int32(1) << 29)
 
-    _, order = jax.lax.sort_key_val(key, jnp.arange(q, dtype=jnp.int32))
+    _, order = jax.lax.sort_key_val(key, jnp.arange(q2, dtype=jnp.int32))
     packed = jnp.concatenate(
-        [o, d, state["throughput"],
-         jax.lax.bitcast_convert_type(state["pixel"], jnp.float32)[:, None],
-         jnp.zeros((q, 2), jnp.float32)], axis=1,
-    )[order]  # ONE wide gather
-    return {
-        "origins": packed[:, 0:3],
-        "dirs": packed[:, 3:6],
+        [o, d, cand["throughput"],
+         jax.lax.bitcast_convert_type(cand["pixel"], jnp.float32)[:, None]],
+        axis=1,
+    )[order[:capacity]]  # ONE wide gather of the survivors
+
+    n_alive = jnp.sum(active)
+    live = jnp.arange(capacity) < n_alive
+    # Park dead slots: origin far outside the scene with strictly-positive
+    # direction components, so their tiles bin to zero BVH visits (a zero
+    # direction span makes the conservative tile box cover everything).
+    queue = {
+        "origins": jnp.where(live[:, None], packed[:, 0:3], 1e30),
+        "dirs": jnp.where(live[:, None], packed[:, 3:6],
+                          jnp.array([1.0, 1.0, 1.0])),
         "throughput": packed[:, 6:9],
-        "pixel": jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32),
-        "active": state["active"],  # prefix-true, invariant under the sort
+        "pixel": jnp.where(
+            live, jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32),
+            2**31 - 1),
+        "active": live,
     }
+    return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
 
 
 def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: bool,
@@ -232,20 +231,12 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     cand["active"] = cand["active"] & (
         jnp.max(cand["throughput"], axis=-1) > MIN_THROUGHPUT
     )
-    new_state, n_alive, n_drop = _compact(cand, q)
-    # Park dead queue slots on rays that cannot hit anything.  The parked
-    # direction must have NO zero components: a zero span in a tile's
-    # direction interval makes the binner's conservative box cover the whole
-    # scene, and a fully-parked tile would then visit every cluster.  With
-    # strictly positive components and an origin beyond the scene, every
-    # cluster lies behind the ray and the tile bins to zero visits.
-    parked = ~new_state["active"]
-    new_state["origins"] = jnp.where(parked[:, None], 1e30, new_state["origins"])
-    new_state["dirs"] = jnp.where(
-        parked[:, None], jnp.array([1.0, 1.0, 1.0]), new_state["dirs"]
+    # Branch A occupies the first half of the candidate list; split_at makes
+    # overflow drop the Fresnel-reflection half (B) first.
+    new_state, n_alive, n_drop = _compact_sort(
+        cand, q, geo.scene_lo, geo.scene_hi,
+        split_at=cand_a["origins"].shape[0],
     )
-    new_state["pixel"] = jnp.where(parked, 2**31 - 1, new_state["pixel"])
-    new_state = sort_wavefront(new_state, geo.scene_lo, geo.scene_hi)
     return new_state, framebuffer, {"alive": n_alive, "dropped": n_drop}
 
 
