@@ -108,57 +108,6 @@ def _interval_inv(d_lo, d_hi):
     return i_lo, i_hi
 
 
-def bin_clusters(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
-    """Per-tile cluster lists via interval-arithmetic frustum culling.
-
-    Args:
-      origins, dirs: (T, R, 3) tiled rays.
-      bounds: optional precomputed per-tile interval dict (see
-        ops.rays.tile_frustum_bounds) — skips the (T, R, 3) reduces (~34 ms
-        at 2M rays) for primary pinhole tiles.  May use UNNORMALIZED
-        directions (slab overlap is scale-invariant); entry keys are then
-        divided by ``len_hi`` to stay a conservative lower bound in the
-        normalized ray parameter the kernel's early-out compares against.
-    Returns (ids (T, C) i32 near-to-far then misses, entry (T, C) f32 sorted
-    conservative entry distances, counts (T,) i32).
-    """
-    if bounds is not None:
-        o_lo, o_hi = bounds["o_lo"], bounds["o_hi"]
-        d_lo, d_hi = bounds["d_lo"], bounds["d_hi"]
-        t_min = 0.0  # t parameterization may be scaled; keep it conservative
-    else:
-        o_lo = origins.min(axis=1)  # (T, 3)
-        o_hi = origins.max(axis=1)
-        d_lo = dirs.min(axis=1)
-        d_hi = dirs.max(axis=1)
-
-    entry = jnp.full((origins.shape[0], cs.aabb_min.shape[0]), -BIG)
-    exit_ = jnp.full_like(entry, BIG)
-    for ax in range(3):
-        n_lo = cs.aabb_min[None, :, ax] - o_hi[:, None, ax]  # (T, C)
-        n_hi = cs.aabb_max[None, :, ax] - o_lo[:, None, ax]
-        i_lo, i_hi = _interval_inv(d_lo[:, None, ax], d_hi[:, None, ax])
-        prods = jnp.stack(
-            [n_lo * i_lo, n_lo * i_hi, n_hi * i_lo, n_hi * i_hi], axis=0
-        )
-        prods = jnp.clip(prods, -BIG, BIG)
-        entry = jnp.maximum(entry, prods.min(axis=0))
-        exit_ = jnp.minimum(exit_, prods.max(axis=0))
-
-    overlap = (entry <= exit_) & (exit_ >= t_min) & cs.valid[None, :]
-    key = jnp.where(overlap, jnp.maximum(entry, t_min), INF)
-    if bounds is not None and "len_hi" in bounds:
-        key = jnp.where(jnp.isfinite(key), key / bounds["len_hi"][:, None], key)
-    key_sorted, ids = jax.lax.sort_key_val(
-        key, jnp.broadcast_to(jnp.arange(key.shape[1], dtype=jnp.int32), key.shape),
-        dimension=1,
-    )
-    counts = overlap.sum(axis=1).astype(jnp.int32)
-    return ids, key_sorted, counts
-
-
-
-
 def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
     """Sort-free binning: per-tile overlap as 32-bit occupancy WORDS.
 
@@ -215,6 +164,41 @@ def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
     cum = jnp.cumsum(cnt_w, axis=1)
     counts = cnt_w.sum(axis=1)
     return words, cum, entry, counts
+
+
+def _coarsen_bounds(bounds, tiles: int):
+    """Adapt precomputed per-tile frustum bounds to the kernel's chunking.
+
+    ``tile_frustum_bounds`` is built at pick_tile's 256-ray pixel tiles, but
+    large scenes run the kernel at 768-ray chunks (bvh._auto_tile_r) — three
+    CONSECUTIVE tile-major tiles, so a chunk's conservative box is just the
+    hull of its tiles' boxes.  Without this the bounds were silently dropped
+    on exactly the big scenes the adaptive chunk targets (ADVICE r2 #1),
+    re-paying the ~34 ms of (T, R, 3) reduces they exist to skip.
+
+    Returns bounds at ``tiles`` granularity, or None if the shapes don't
+    divide evenly (caller falls back to reducing the rays).
+    """
+    if bounds is None:
+        return None
+    t0 = bounds["d_lo"].shape[0]
+    if t0 == tiles:
+        return bounds
+    if t0 % tiles:
+        return None
+    f = t0 // tiles
+
+    def mn(x):
+        return x.reshape(tiles, f, 3).min(axis=1)
+
+    def mx(x):
+        return x.reshape(tiles, f, 3).max(axis=1)
+
+    out = {"o_lo": mn(bounds["o_lo"]), "o_hi": mx(bounds["o_hi"]),
+           "d_lo": mn(bounds["d_lo"]), "d_hi": mx(bounds["d_hi"])}
+    if "len_hi" in bounds:
+        out["len_hi"] = bounds["len_hi"].reshape(tiles, f).max(axis=1)
+    return out
 
 
 def _nth_set_bit(word, n):
@@ -285,67 +269,6 @@ def build_visit_groups_bits(words, cum, entry, counts, budget: int, g: int,
     visit_tile = jnp.where(in_range, tile_c, t)
     visit_first = (in_range & ((j == 0) | (v == start))).astype(jnp.int32)
     return visit_tile, vcs, visit_first, ve, remaining
-
-
-def build_visit_groups(ids, entry, counts, budget: int, g: int, start=0):
-    """Flatten ragged per-tile cluster lists into fixed-size GROUPED visit
-    arrays: each grid step processes ``g`` clusters of one tile, amortizing
-    the ~1.1 us/step pipeline machinery.
-
-    Groups are tile-major (consecutive groups share a tile, letting the
-    kernel accumulate in the revisited output block) and preserve the order
-    of ``ids`` within a tile (near-to-far when bin_clusters sorts).  A
-    tile's last group pads by REPEATING its last cluster — refolding the
-    same cluster into the running min is idempotent, so no per-subvisit
-    predication is needed.  Whole-step padding points at the dummy tile
-    slot T and is predicated off.
-
-    ``start`` (traced ok) offsets into the GLOBAL group list: the launch
-    covers groups [start, start + budget), so overflow relaunches schedule
-    strictly new work (guaranteed progress; no accounting fixed points).  A
-    tile resumed mid-way gets ``visit_first`` on its first group *of this
-    launch* (v == start) so the kernel re-seeds its block from the carried
-    best.
-
-    Formulated as GATHERS (searchsorted over group offsets), never as a
-    scatter from the (T, C) grid — TPU scatters of millions of elements
-    serialize and dominated the frame before this.
-
-    Returns (visit_tile, [visit_cluster_0..g-1], visit_first, visit_entry,
-    remaining_groups).
-    """
-    t, c = ids.shape
-    start = jnp.asarray(start, jnp.int32)
-    g_counts = (counts + g - 1) // g
-    ends = jnp.cumsum(g_counts)
-    offs = ends - g_counts
-    total = ends[-1]
-    remaining = jnp.maximum(total - start - budget, 0)
-
-    v = jnp.arange(budget, dtype=jnp.int32) + start
-    in_range = v < total
-    tile = jnp.searchsorted(ends, v, side="right").astype(jnp.int32)
-    tile_c = jnp.minimum(tile, t - 1)
-    j = v - offs[tile_c]  # group index within the tile
-    base = j * g
-
-    last = jnp.maximum(counts[tile_c] - 1, 0)
-    vcs = []
-    for kk in range(g):
-        idx = base + kk
-        cl = ids[tile_c, jnp.clip(jnp.minimum(idx, last), 0, c - 1)]
-        # Padding sub-visits carry -1 and are PREDICATED OFF in the kernel.
-        # (They used to repeat the tile's last cluster — idempotent for the
-        # fold but paying the full per-pair tail, which erased the gain of
-        # finer clusters on sparse tiles.)
-        vcs.append(jnp.where(in_range & (idx <= last), cl, -1))
-
-    visit_tile = jnp.where(in_range, tile_c, t)
-    visit_first = (in_range & ((j == 0) | (v == start))).astype(jnp.int32)
-    visit_entry = jnp.where(
-        in_range, entry[tile_c, jnp.clip(base, 0, c - 1)], 0.0
-    )
-    return visit_tile, vcs, visit_first, visit_entry, remaining
 
 
 # ---------------------------------------------------------------------------
@@ -622,8 +545,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
         bounds = None
     m = origins.shape[0]
     tiles = m // tile_r
-    if bounds is not None and bounds["d_lo"].shape[0] != tiles:
-        bounds = None
+    bounds = _coarsen_bounds(bounds, tiles)
 
     ot = origins.reshape(tiles, tile_r, 3)
     dt = dirs.reshape(tiles, tile_r, 3)
@@ -712,8 +634,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
         bounds = None  # precomputed bounds no longer line up with tiles
     m = origins.shape[0]
     tiles = m // tile_r
-    if bounds is not None and bounds["d_lo"].shape[0] != tiles:
-        bounds = None
+    bounds = _coarsen_bounds(bounds, tiles)
 
     ot = origins.reshape(tiles, tile_r, 3)
     dt = dirs.reshape(tiles, tile_r, 3)
@@ -779,6 +700,13 @@ def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
     wide packed-record gather (ops.intersect.hit_record), so refining here
     would duplicate three narrow ~35 ms gathers.  Pass ``refine=True`` for a
     standalone exact Hit.
+
+    ``t_max`` semantics are FUZZY by the same truncation: the carried-best
+    seed rides the packed lane reduce as (trunc(t_max) | 2047), so a
+    candidate whose truncated t equals the truncated seed still registers —
+    hits up to ~1e-4 relative BEYOND t_max can be reported (ADVICE r2 #2).
+    Use ``occluded_pallas`` for occlusion queries: its any-hit kernel
+    compares ``t < t_max`` exactly.
     """
     n = origins.shape[0]
     if t_max is None:

@@ -238,8 +238,13 @@ def dumps(scene: Scene) -> str:
             entry["albedo"] = [float(x) for x in m.albedo]
         if m.type == MaterialType.REFRACTIVE:
             entry["ior"] = float(m.ior)
+        # Emit each key independently when it differs from its default —
+        # the parser reads them independently, so gating shininess on
+        # specular would lose a customized shininess on a save/load
+        # round-trip (ADVICE r2 #4).
         if m.specular:
             entry["specular"] = float(m.specular)
+        if m.shininess != 32.0:
             entry["shininess"] = float(m.shininess)
         doc["materials"].append(entry)
 

@@ -62,6 +62,43 @@ struct Parser {
     return false;
   }
 
+  // Reads the 4 hex digits after "\u"; leaves p on the last digit (the
+  // caller's ++p consumes it, mirroring the single-char escape cases).
+  bool parseHex4(unsigned* cp) {
+    if (end - p <= 4) return fail("truncated \\u escape");
+    unsigned v = 0;
+    for (int i = 1; i <= 4; ++i) {
+      char c = p[i];
+      unsigned d;
+      if (c >= '0' && c <= '9') d = c - '0';
+      else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+      else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+      else return fail("bad \\u escape");
+      v = (v << 4) | d;
+    }
+    p += 4;
+    *cp = v;
+    return true;
+  }
+
+  static void appendUtf8(std::string* out, unsigned cp) {
+    if (cp < 0x80) {
+      out->push_back((char)cp);
+    } else if (cp < 0x800) {
+      out->push_back((char)(0xC0 | (cp >> 6)));
+      out->push_back((char)(0x80 | (cp & 0x3F)));
+    } else if (cp < 0x10000) {
+      out->push_back((char)(0xE0 | (cp >> 12)));
+      out->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+      out->push_back((char)(0x80 | (cp & 0x3F)));
+    } else {
+      out->push_back((char)(0xF0 | (cp >> 18)));
+      out->push_back((char)(0x80 | ((cp >> 12) & 0x3F)));
+      out->push_back((char)(0x80 | ((cp >> 6) & 0x3F)));
+      out->push_back((char)(0x80 | (cp & 0x3F)));
+    }
+  }
+
   bool parseString(std::string* out) {
     if (*p != '"') return fail("expected string");
     ++p;
@@ -75,9 +112,26 @@ struct Parser {
           case 'r': out->push_back('\r'); break;
           case 'b': out->push_back('\b'); break;
           case 'f': out->push_back('\f'); break;
-          case 'u': {  // keep raw; scene files use ASCII names
-            out->push_back('?');
-            if (end - p > 4) p += 4;
+          case 'u': {  // \uXXXX (+ surrogate pairs) -> UTF-8, matching
+            // Python json.loads on non-ASCII texture/material names
+            unsigned cp = 0;
+            if (!parseHex4(&cp)) return false;
+            if (cp >= 0xD800 && cp <= 0xDBFF && end - p >= 7 &&
+                p[1] == '\\' && p[2] == 'u') {
+              unsigned lo = 0;
+              const char* save = p;
+              p += 2;
+              if (!parseHex4(&lo)) return false;
+              if (lo >= 0xDC00 && lo <= 0xDFFF) {
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+              } else {
+                p = save;  // unpaired high surrogate: emit replacement
+                cp = 0xFFFD;
+              }
+            } else if (cp >= 0xD800 && cp <= 0xDFFF) {
+              cp = 0xFFFD;  // lone surrogate
+            }
+            appendUtf8(out, cp);
             break;
           }
           default: out->push_back(*p);

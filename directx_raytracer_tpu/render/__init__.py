@@ -1,4 +1,4 @@
 from .debug import render_debug
-from .whitted import render_whitted
+from .whitted import render_whitted, render_whitted_checked
 
-__all__ = ["render_debug", "render_whitted"]
+__all__ = ["render_debug", "render_whitted", "render_whitted_checked"]

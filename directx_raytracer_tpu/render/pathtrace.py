@@ -36,6 +36,7 @@ from ..models.scene import DeviceScene
 from ..ops.intersect import hit_record
 from ..ops.rays import generate_rays, generate_rays_tiled, pick_tile
 from ..ops.shading import RAY_BIAS, FOUR_PI, SHADOW_BIAS, hit_attributes, reflect, refract_fresnel
+from ..utils import checks
 from .debug import untile
 from .whitted import _compact_sort, _default_intersect, _default_occluder
 
@@ -130,6 +131,14 @@ def _pt_bounce(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
                   occluder_fn, mask=is_diffuse)
     contrib += jnp.where(is_diffuse[:, None], thpt * attrs["albedo"] * direct, 0.0)
     contrib += jnp.where(is_constant[:, None], thpt * attrs["albedo"], 0.0)
+    # DXRT_CHECK=1 debug build (see utils.checks): guard what reaches the
+    # accumulator; masked lanes are already zeroed so this flags real bugs.
+    checks.check(jnp.all(jnp.isfinite(contrib)),
+                 "non-finite radiance contribution in PT bounce")
+    checks.check(
+        jnp.all(~active | ((pixel >= 0) & (pixel < radiance.shape[0]))),
+        "PT wavefront pixel id out of framebuffer range",
+    )
     radiance = radiance.at[pixel].add(contrib, mode="drop") if depth else radiance + contrib
 
     # Continuations (single stochastic branch per ray).
@@ -248,13 +257,35 @@ class PathTracer:
     def step(self, cam_position, cam_rotation, n: int = 1):
         for _ in range(n):
             self.key, k = jax.random.split(self.key)
-            self.accum = self.accum + pathtrace_sample(
-                self.dscene, cam_position, cam_rotation, k,
-                self.width, self.height, self.max_depth,
-                self.intersect_fn, self.occluder_factory,
-            )
+            self.accum = self.accum + self._sample(cam_position, cam_rotation,
+                                                   k)
             self.n_samples += 1
         return self
+
+    def _sample(self, cam_position, cam_rotation, k):
+        if checks.enabled():  # DXRT_CHECK=1: functionalize + raise guards
+            from jax.experimental import checkify
+
+            fn = getattr(self, "_checked_fn", None)
+            if fn is None:
+                def impl(dscene, pos, rot, key):
+                    return pathtrace_tile(
+                        dscene, pos, rot, key, self.width, self.height,
+                        row_start=0, rows=self.height,
+                        max_depth=self.max_depth,
+                        intersect_fn=self.intersect_fn,
+                        occluder_factory=self.occluder_factory,
+                    )
+
+                fn = self._checked_fn = jax.jit(checkify.checkify(impl))
+            err, out = fn(self.dscene, cam_position, cam_rotation, k)
+            err.throw()
+            return out
+        return pathtrace_sample(
+            self.dscene, cam_position, cam_rotation, k,
+            self.width, self.height, self.max_depth,
+            self.intersect_fn, self.occluder_factory,
+        )
 
     def image(self):
         """(H, W, 3) mean radiance in raster order."""

@@ -28,8 +28,9 @@ import numpy as np
 from ..bvh import build_bvh, make_bvh_intersect_fn, make_bvh_occluder_factory
 from ..models.scene import Scene, build_device_scene
 from ..ops.debug_shading import MODE_NAMES
+from ..utils import checks
 from .debug import render_debug
-from .whitted import render_whitted
+from .whitted import render_whitted, render_whitted_checked
 
 log = logging.getLogger("directx_raytracer_tpu")
 
@@ -128,7 +129,8 @@ class Renderer:
         """One Whitted frame (the capability surface the reference parses
         but never executes — materials, lights, shadows, specular)."""
         pos, rot = self.camera.snapshot()
-        img, stats = render_whitted(
+        fn = render_whitted_checked if checks.enabled() else render_whitted
+        img, stats = fn(
             self.dscene, pos, rot, self.width, self.height,
             max_depth=max_depth, spp=spp,
             intersect_fn=self.intersect_fn,

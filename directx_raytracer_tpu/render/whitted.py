@@ -48,6 +48,7 @@ from ..ops.intersect import hit_record, intersect_bruteforce, occluded_bruteforc
 from ..ops.rays import RGSS_OFFSETS, generate_rays, generate_rays_tiled, pick_tile
 from .debug import untile
 from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, refract_fresnel
+from ..utils import checks
 
 # Continuations whose peak throughput falls below this contribute < 1/256 of
 # a pixel value — kill them instead of tracing.
@@ -182,6 +183,16 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
     contrib = contrib + jnp.where(diffuse_mask[:, None], thpt * shaded, 0.0)
     contrib = contrib + jnp.where(
         (hit_mask & is_constant)[:, None], thpt * attrs["albedo"], 0.0
+    )
+    # DXRT_CHECK=1 debug build: the contribution is exactly what becomes
+    # user-visible, so a NaN/inf here is a real shading bug (masked lanes
+    # are already zeroed); a live ray's pixel id outside the framebuffer
+    # would be silently dropped by mode="drop" below.
+    checks.check(jnp.all(jnp.isfinite(contrib)),
+                 "non-finite framebuffer contribution in shade pass")
+    checks.check(
+        jnp.all(~active | ((pixel >= 0) & (pixel < framebuffer.shape[0]))),
+        "wavefront pixel id out of framebuffer range",
     )
     if aligned:
         framebuffer = framebuffer + contrib
@@ -417,3 +428,48 @@ def render_whitted(
         intersect_fn=intersect_fn, occluder_factory=occluder_factory,
         queue_factor=queue_factor,
     )
+
+
+_checked_cache: dict = {}
+
+
+def render_whitted_checked(
+    dscene: DeviceScene,
+    cam_position,
+    cam_rotation,
+    width: int,
+    height: int,
+    max_depth: int = 5,
+    spp: int = 1,
+    intersect_fn=None,
+    occluder_factory=None,
+    queue_factor=None,
+):
+    """``render_whitted`` under ``jax.experimental.checkify`` — the
+    DXRT_CHECK=1 debug build (see utils.checks).  Raises
+    ``checkify.JaxRuntimeError`` on a non-finite framebuffer contribution
+    or an out-of-range wavefront pixel id; same return value otherwise.
+    """
+    from jax.experimental import checkify
+
+    key = (width, height, max_depth, spp, intersect_fn, occluder_factory,
+           queue_factor)
+    fn = _checked_cache.get(key)
+    if fn is None:
+        offs = spp_offsets(spp)
+
+        def impl(dscene, cam_position, cam_rotation):
+            return render_tile(
+                dscene, cam_position, cam_rotation, width, height,
+                offsets=jnp.asarray(offs, jnp.float32),
+                weight=1.0 / len(offs), row_start=0, rows=height,
+                max_depth=max_depth, intersect_fn=intersect_fn,
+                occluder_factory=occluder_factory, queue_factor=queue_factor,
+            )
+
+        fn = jax.jit(checkify.checkify(impl))
+        _checked_cache[key] = fn
+    err, out = fn(dscene, jnp.asarray(cam_position, jnp.float32),
+                  jnp.asarray(cam_rotation, jnp.float32))
+    err.throw()
+    return out

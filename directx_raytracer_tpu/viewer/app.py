@@ -120,12 +120,24 @@ def cmd_interactive(args):
     last = time.perf_counter()
     status = ""
     pending = None  # device u8 frame in flight (1-frame display pipeline)
-    with tty.RawKeyboard() as kb:
+    with tty.RawKeyboard(mouse=True) as kb:
         while True:
             now = time.perf_counter()
             dt = min(now - last, 0.25)
             last = now
+            had_input = False
             while (key := kb.poll()) is not None:
+                had_input = True
+                if isinstance(key, tuple):
+                    # Mouse-look / wheel-zoom: DXRTViewportWidget.cpp:50-78
+                    # semantics (rotate(-yaw, -pitch); wheel up zooms in).
+                    # A text cell is ~2 pixels tall in half-block art.
+                    if key[0] == "mouse_drag":
+                        r.camera.rotate(-key[1] * SENSITIVITY,
+                                        -key[2] * 2 * SENSITIVITY)
+                    elif key[0] == "mouse_wheel":
+                        r.camera.zoom(-key[1] * SCROLL_SPEED)
+                    continue
                 if key in ("x", "esc"):
                     sys.stdout.write("\n")
                     return
@@ -160,7 +172,11 @@ def cmd_interactive(args):
             args.mode, args.whitted = mode, whitted
             # 1-frame pipeline: dispatch frame n+1 (async under XLA), then
             # transfer + draw frame n while the device renders — hides the
-            # ~30-40 ms tunnel round trip behind compute.
+            # ~30-40 ms tunnel round trip behind compute.  Input flushes the
+            # pipeline so a mode/camera change shows immediately instead of
+            # displaying one stale frame first (ADVICE r2 #3).
+            if had_input:
+                pending = None
             new_pending = _frame_device(r, args)
             img = np.asarray(pending if pending is not None else new_pending)
             pending = new_pending
@@ -171,8 +187,8 @@ def cmd_interactive(args):
             label = "whitted" if whitted else MODE_NAMES[mode]
             sys.stdout.write(
                 f"\n{label} | {r.stats.fps:5.1f} FPS {r.stats.mrays:7.1f} Mrays/s"
-                f" | wasd move, arrows look, q/e zoom, 0-6 mode, g whitted,"
-                f" p save, x quit {status}\x1b[K"
+                f" | wasd move, arrows/drag look, q/e/wheel zoom, 0-6 mode,"
+                f" g whitted, p save, x quit {status}\x1b[K"
             )
             sys.stdout.flush()
 
@@ -231,7 +247,9 @@ def main(argv=None):
         sp.add_argument("--whitted", action="store_true",
                         help="full Whitted shading (materials/lights/shadows)")
         sp.add_argument("--depth", type=int, default=5, help="whitted max depth")
-        sp.add_argument("--spp", type=int, default=1, choices=(1, 4))
+        sp.add_argument("--spp", type=int, default=1, metavar="N",
+                        help="samples per pixel (1 = reference pixel center, "
+                        "4 = RGSS, other N = deterministic Hammersley set)")
 
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)

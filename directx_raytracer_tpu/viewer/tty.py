@@ -62,7 +62,22 @@ def frame_to_ansi(img_u8: np.ndarray, max_cols: int | None = None,
 
 
 class RawKeyboard:
-    """Context manager: cbreak terminal + non-blocking key polling."""
+    """Context manager: cbreak terminal + non-blocking key/mouse polling.
+
+    With ``mouse=True`` the terminal is switched into xterm any-motion
+    tracking (DECSET 1003) with SGR extended coordinates (DECSET 1006) —
+    the SSH-friendly analog of the reference viewport's FPS mouse capture
+    (DXRTViewportWidget.cpp:33-72).  ``poll`` then also yields tuples:
+
+      ("mouse_drag",  dx, dy)  — cell deltas while a button is held
+      ("mouse_wheel", steps)   — +1 wheel-up / -1 wheel-down per event
+
+    Terminals without mouse support simply never send the sequences.
+    """
+
+    def __init__(self, mouse: bool = False):
+        self.mouse = mouse
+        self._last_xy = None
 
     def __enter__(self):
         import termios
@@ -71,26 +86,60 @@ class RawKeyboard:
         self.fd = sys.stdin.fileno()
         self.saved = termios.tcgetattr(self.fd)
         tty.setcbreak(self.fd)
+        if self.mouse:
+            sys.stdout.write(f"{ESC}[?1003h{ESC}[?1006h")
+            sys.stdout.flush()
         return self
 
     def __exit__(self, *exc):
         import termios
 
+        if self.mouse:
+            sys.stdout.write(f"{ESC}[?1006l{ESC}[?1003l")
+            sys.stdout.flush()
         termios.tcsetattr(self.fd, termios.TCSADRAIN, self.saved)
 
-    def poll(self) -> str | None:
-        """Next pending key (arrow keys decoded), or None."""
-        if not select.select([sys.stdin], [], [], 0)[0]:
+    def _pending(self, timeout=0.0) -> bool:
+        return bool(select.select([sys.stdin], [], [], timeout)[0])
+
+    def _mouse_event(self):
+        """Parse the tail of an SGR mouse report: <Cb;Cx;CyM (or m)."""
+        buf = ""
+        while self._pending(0.005) and len(buf) < 24:
+            c = sys.stdin.read(1)
+            if c in ("M", "m"):
+                try:
+                    b, x, y = (int(v) for v in buf.split(";"))
+                except ValueError:
+                    return None
+                if b & 64:  # wheel: 64 = up, 65 = down
+                    return ("mouse_wheel", 1 if (b & 3) == 0 else -1)
+                dragging = c == "M" and (b & 32) and (b & 3) != 3
+                last, self._last_xy = self._last_xy, (x, y)
+                if dragging and last is not None:
+                    return ("mouse_drag", x - last[0], y - last[1])
+                if c == "m" or (b & 3) == 3:  # release: drop the anchor
+                    self._last_xy = None
+                return None
+            buf += c
+        return None
+
+    def poll(self):
+        """Next pending event: a key string, a mouse tuple, or None."""
+        if not self._pending():
             return None
         ch = sys.stdin.read(1)
         if ch != ESC:
             return ch
-        # Arrow keys arrive as ESC [ A/B/C/D.
-        if select.select([sys.stdin], [], [], 0.005)[0]:
+        # CSI sequences: arrows ESC[A-D, SGR mouse ESC[<b;x;yM.
+        if self._pending(0.005):
             seq = sys.stdin.read(1)
-            if seq == "[" and select.select([sys.stdin], [], [], 0.005)[0]:
+            if seq == "[" and self._pending(0.005):
                 code = sys.stdin.read(1)
-                return {"A": "up", "B": "down", "C": "right", "D": "left"}.get(code, None)
+                if code == "<":
+                    return self._mouse_event()
+                return {"A": "up", "B": "down", "C": "right",
+                        "D": "left"}.get(code, None)
         return "esc"
 
 

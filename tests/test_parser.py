@@ -170,3 +170,15 @@ def test_blinn_phong_extension_keys_roundtrip():
     # absent keys keep reference defaults (no specular term)
     plain = crtscene.loads('{"materials": [{"type": "diffuse"}]}')
     assert plain.materials[0].specular == 0.0
+
+
+def test_shininess_survives_roundtrip_without_specular():
+    """ADVICE r2 #4: a zero-specular material with customized shininess
+    must keep the shininess through dumps/loads (keys are independent)."""
+    scene = crtscene.loads(
+        '{"materials": [{"type": "diffuse", "albedo": [0.5, 0.5, 0.5], '
+        '"smooth_shading": false, "shininess": 7.5}]}'
+    )
+    b = crtscene.loads(crtscene.dumps(scene))
+    assert b.materials[0].specular == 0.0
+    assert b.materials[0].shininess == pytest.approx(7.5)

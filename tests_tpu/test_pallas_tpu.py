@@ -93,14 +93,15 @@ def test_visit_budget_overflow_loop(scene_geo):
     # The tiny budget must actually overflow, or the relaunch while_loop
     # never runs and this test is vacuous: count the real visit groups.
     from directx_raytracer_tpu.bvh.pallas_intersect import (
-        TILE_R, VISIT_GROUP, bin_clusters, build_visit_groups,
+        TILE_R, VISIT_GROUP, bin_clusters_bits, build_visit_groups_bits,
     )
 
     tiles = o.shape[0] // TILE_R
-    ids, entry, counts = bin_clusters(
+    words, cum, entry, counts = bin_clusters_bits(
         o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), bvh.clusters
     )
-    *_, remaining = build_visit_groups(ids, entry, counts, budget, VISIT_GROUP)
+    *_, remaining = build_visit_groups_bits(
+        words, cum, entry, counts, budget, VISIT_GROUP)
     assert int(remaining) > budget, "budget too large: overflow loop untested"
 
     full = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar)

@@ -20,8 +20,8 @@ import numpy as np
 from directx_raytracer_tpu import testscenes
 from directx_raytracer_tpu.bvh.clustered import build_clusters
 from directx_raytracer_tpu.bvh.pallas_intersect import (
-    TILE_R, VISIT_GROUP, bin_clusters, build_visit_groups, planar_mats,
-    _launch,
+    TILE_R, VISIT_GROUP, bin_clusters_bits, build_visit_groups_bits,
+    planar_mats, _launch,
 )
 from directx_raytracer_tpu.models.scene import build_device_scene
 from directx_raytracer_tpu.ops.rays import generate_rays_tiled, tile_frustum_bounds
@@ -66,11 +66,11 @@ def main():
     tiles = n // TILE_R
     g = VISIT_GROUP
 
-    ids, entry, counts = jax.jit(bin_clusters)(
+    words, cum, entry, counts = jax.jit(bin_clusters_bits)(
         o.reshape(tiles, TILE_R, 3), d.reshape(tiles, TILE_R, 3), cs,
         bounds=bounds)
-    vt, vcs, vf, ve, rem = jax.jit(build_visit_groups, static_argnames=(
-        "budget", "g"))(ids, entry, counts, BUDGET, g)
+    vt, vcs, vf, ve, rem = jax.jit(build_visit_groups_bits, static_argnames=(
+        "budget", "g"))(words, cum, entry, counts, BUDGET, g)
     vt, vf, ve = map(jnp.asarray, (vt, vf, ve))
     print(f"scheduled groups: {int(np.asarray(counts).sum())} clusters "
           f"/ {int(((np.asarray(counts)+g-1)//g).sum())} groups "

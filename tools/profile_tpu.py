@@ -23,8 +23,8 @@ from directx_raytracer_tpu import testscenes
 from directx_raytracer_tpu.bvh import build_bvh
 from directx_raytracer_tpu.bvh.clustered import build_clusters
 from directx_raytracer_tpu.bvh.pallas_intersect import (
-    TILE_R, VISIT_GROUP, bin_clusters, build_visit_groups, planar_mats,
-    _search,
+    TILE_R, VISIT_GROUP, bin_clusters_bits, build_visit_groups_bits,
+    planar_mats, _search,
 )
 from directx_raytracer_tpu.models.scene import build_device_scene
 from directx_raytracer_tpu.ops.intersect import hit_record
@@ -67,7 +67,7 @@ def bin_stats(geo, pos, rot, k, th, tw, g):
     tile_r = th * tw
     tiles = o.shape[0] // tile_r
     bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, th, tw)
-    ids, entry, counts = jax.jit(bin_clusters)(
+    *_, counts = jax.jit(bin_clusters_bits)(
         o.reshape(tiles, tile_r, 3), d.reshape(tiles, tile_r, 3), cs,
         bounds=bounds)
     c = np.asarray(counts)
@@ -149,18 +149,18 @@ def main():
         return oo[0, 0] + dd[0, 0]
 
     def ph_bin(eps, *a):
-        ids, entry, counts = bin_clusters(ot + eps, dt_, cs, bounds=None)
+        *_, counts = bin_clusters_bits(ot + eps, dt_, cs, bounds=None)
         return counts[0]
 
     def ph_bin_bounds(eps, *a):
         b2 = {k2: v + eps if k2 != "len_hi" else v for k2, v in bounds.items()}
-        ids, entry, counts = bin_clusters(ot, dt_, cs, bounds=b2)
+        *_, counts = bin_clusters_bits(ot, dt_, cs, bounds=b2)
         return counts[0]
 
     def ph_groups(eps, *a):
-        ids, entry, counts = bin_clusters(ot, dt_, cs, bounds=bounds)
-        vt, vcs, vf, ve, rem = build_visit_groups(
-            ids, entry + eps, counts, 16384, VISIT_GROUP)
+        words, cum, entry, counts = bin_clusters_bits(ot, dt_, cs, bounds=bounds)
+        vt, vcs, vf, ve, rem = build_visit_groups_bits(
+            words, cum, entry + eps, counts, 16384, VISIT_GROUP)
         return ve[0]
 
     def ph_search(eps, *a):
