@@ -1,22 +1,42 @@
 """Headline benchmark: Mrays/sec/chip on the 100k-triangle scene at 1080p.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured Mrays/s divided by the BASELINE.json north-star
-target of 500 Mrays/sec/chip (so 1.0 == target met).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus the
+honesty instrumentation of VERDICT r2 #4: "pairs_per_ray", "est_mfu",
+"breakdown_ms"}.  vs_baseline is measured Mrays/s divided by the
+BASELINE.json north-star target of 500 Mrays/sec/chip (1.0 == target met).
 
 The workload mirrors the reference's fixed dispatch (1920x1080 primary rays,
 DXRTRenderer.cpp:1348-1350) on the BASELINE bench scene (~100k tris), using
 the fastest available intersector (LBVH/Pallas when present, else the MXU
 brute-force path).
+
+Timing methodology: frames loop inside ONE jit (the axon tunnel adds a
+~30-40 ms dispatch round trip which block_until_ready does not see), and the
+fixed per-dispatch overhead is measured with an empty chained loop of the
+same shape and subtracted — round 2's numbers silently included overhead/n
+(~7 ms/frame at n=5), understating real throughput.
+
+Correctness gates run BEFORE timing and flip the exit code on failure:
+  * kernel vs brute force on a random scene (hit/miss, winner, t);
+  * occlusion kernel vs brute force;
+  * a TPU-rendered 192x108 Dragon golden tile (geometric modes 3-6, which
+    are cross-backend deterministic) against the CPU-pinned golden — wrong-
+    PIXEL kernel drift fails the bench, not just wrong hit stats.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import numpy as np
+
+
+def _stage(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 from directx_raytracer_tpu import testscenes
 from directx_raytracer_tpu.models.scene import build_device_scene
@@ -24,6 +44,10 @@ from directx_raytracer_tpu.render.debug import render_debug
 
 NORTH_STAR_MRAYS = 500.0
 WIDTH, HEIGHT = 1920, 1080
+MXU_PEAK_FLOPS = 197e12  # v5e bf16 peak; the kernel's matmuls run f32(HIGH)
+DRAGON = "/root/reference/DirectX-RayTracer/DirectX-RayTracer/Scenes/Dragon.crtscene"
+GOLDENS = os.path.join(os.path.dirname(__file__), "tests", "goldens",
+                       "dragon_192x108.npz")
 
 
 def best_intersect_fn():
@@ -80,8 +104,47 @@ def kernel_smoke() -> None:
         raise SystemExit("kernel smoke FAILED: occlusion mismatch")
 
 
+def golden_tile_gate() -> None:
+    """Render the 192x108 Dragon debug tile with the PRODUCTION intersector
+    on this backend and compare the cross-backend-deterministic geometric
+    modes (3-6, debug_shading.py precision note) to the CPU-pinned golden
+    (VERDICT r2 next-step #6).  Skips quietly if the reference asset or the
+    golden file is missing."""
+    if not (os.path.exists(DRAGON) and os.path.exists(GOLDENS)):
+        return
+    import jax.numpy as jnp
+
+    from directx_raytracer_tpu.bvh import build_bvh, make_bvh_intersect_fn
+    from directx_raytracer_tpu.io import crtscene
+    from directx_raytracer_tpu.utils.image import to_u8
+
+    scene = crtscene.load(DRAGON)
+    d = build_device_scene(scene)
+    bvh = build_bvh(d.geometry)
+    d.geometry.accel = bvh
+    ifn = make_bvh_intersect_fn(bvh)
+    pos, rot = scene.camera.snapshot()
+    gold = np.load(GOLDENS)
+    for mode in (3, 4, 5, 6):
+        img = to_u8(np.asarray(render_debug(
+            d, pos, rot, jnp.int32(mode), 192, 108, intersect_fn=ifn,
+            fetch_record=(mode <= 3))))
+        bad = (np.abs(img.astype(int) - gold[f"debug{mode}"].astype(int))
+               > 2).any(axis=-1).mean()
+        # Kernel-vs-XLA fringe on sliver edges stays well under 1%; a
+        # wrong-image regression (bad binning, broken raygen) is 10-100x.
+        if bad > 0.01:
+            raise SystemExit(
+                f"golden tile gate FAILED: mode {mode} differs on "
+                f"{bad:.2%} of pixels")
+
+
 def main():
+    _stage("kernel smoke")
     kernel_smoke()
+    _stage("golden tile gate")
+    golden_tile_gate()
+    _stage("building 100k scene")
     scene = testscenes.bench_scene(n_tris=100_000, width=WIDTH, height=HEIGHT)
     dscene = build_device_scene(scene)
     pos, rot = scene.camera.snapshot()
@@ -95,9 +158,8 @@ def main():
         intersect_fn = fn_factory(bvh)
 
     import jax.numpy as jnp
-    import numpy as _np
 
-    n_frames = 5
+    n_frames = 20
 
     @jax.jit
     def run(pos_in):
@@ -116,19 +178,67 @@ def main():
         _, acc = jax.lax.fori_loop(0, n_frames, body, (pos_in, jnp.float32(0)))
         return acc
 
-    float(run(jnp.asarray(pos, jnp.float32)))  # compile + warm
+    @jax.jit
+    def empty(pos_in):
+        # Same dispatch shape, trivial body: measures the fixed per-dispatch
+        # overhead (tunnel round trip + launch) to subtract from frame time.
+        def body(i, carry):
+            p, acc = carry
+            return p, acc + p[0] * 0.0
+        _, acc = jax.lax.fori_loop(0, n_frames, body, (pos_in, jnp.float32(0)))
+        return acc
+
+    p = jnp.asarray(pos, jnp.float32)
+    _stage("compiling frame loop")
+    float(run(p))  # compile + warm
+    _stage("timing")
+    float(empty(p))
     t0 = time.perf_counter()
-    float(run(jnp.asarray(pos, jnp.float32)))
-    dt = (time.perf_counter() - t0) / n_frames
+    float(empty(p))
+    overhead = time.perf_counter() - t0  # whole-dispatch fixed cost
+    t0 = time.perf_counter()
+    float(run(p))
+    dt = (time.perf_counter() - t0 - overhead) / n_frames
+
+    # Honesty instrumentation: scheduled pairs/ray from the production
+    # binner, and the MFU those pairs' Woop matmuls represent.
+    pairs_per_ray = mfu = None
+    breakdown = {"dispatch_overhead_ms": round(overhead * 1e3, 2)}
+    try:
+        from directx_raytracer_tpu.bvh.pallas_intersect import (
+            TILE_R, bin_clusters_bits)
+        from directx_raytracer_tpu.ops.rays import (
+            generate_rays_tiled, tile_frustum_bounds)
+
+        o, dd = generate_rays_tiled(p, jnp.asarray(rot, jnp.float32),
+                                    WIDTH, HEIGHT, 8, 32)
+        bounds = tile_frustum_bounds(p, jnp.asarray(rot, jnp.float32),
+                                     WIDTH, HEIGHT, 8, 32)
+        tiles = o.shape[0] // TILE_R
+        cs = bvh.clusters
+        *_, counts = jax.jit(bin_clusters_bits)(
+            o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), cs,
+            bounds=bounds)
+        pairs_per_ray = float(np.asarray(counts).mean()) * cs.k
+        flops_per_frame = pairs_per_ray * WIDTH * HEIGHT * 96.0
+        mfu = flops_per_frame / dt / MXU_PEAK_FLOPS
+        breakdown["frame_ms"] = round(dt * 1e3, 2)
+    except Exception:
+        pass
 
     n_rays = WIDTH * HEIGHT
     mrays = n_rays / dt / 1e6
-    print(json.dumps({
+    out = {
         "metric": "primary_rays_1080p_100k_tris",
         "value": round(mrays, 2),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
-    }))
+    }
+    if pairs_per_ray is not None:
+        out["pairs_per_ray"] = round(pairs_per_ray, 1)
+        out["est_mfu"] = round(mfu, 5)
+        out["breakdown_ms"] = breakdown
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -108,20 +108,24 @@ def _interval_inv(d_lo, d_hi):
     return i_lo, i_hi
 
 
-def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
+def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
+                      impl: str = "pallas"):
     """Sort-free binning: per-tile overlap as 32-bit occupancy WORDS.
 
-    The sorted binners' near-to-far order was measured to save ~1% (the
-    group early-out almost never fires on tiles containing miss rays), but
-    the per-tile sort costs T x C keys — the single biggest XLA-side item
-    (~10 ms at 8100 tiles x 1024 clusters, tens of ms at 1M triangles).
-    Here culling stays a pure elementwise slab pass; overlap packs into
+    The sorted binner's near-to-far order was measured to save ~1% (the
+    group early-out almost never fires on tiles containing miss rays), so
+    culling stays a pure elementwise slab pass; overlap packs into
     (T, C/32) i32 words with per-word popcounts, and the visit builder
     walks (word, set bit) in Morton order.  One binner for ALL scene
     sizes — costs scale with T x C elementwise plus budget-sized gathers.
 
+    ``impl="pallas"`` (default) runs the slab pass in the fused binning
+    kernel (the XLA formulation materializes ~30 (T, C) intermediates in
+    HBM — measured 4.4 ms vs ~1 ms at 8100 x 1024); ``impl="xla"`` keeps
+    the reference formulation (used by the equivalence tests).
+
     Returns (words (T, W) i32, cum (T, W) i32 running popcounts,
-    entry (T, C) f32 conservative entries (for the group early-out),
+    entry (T, >=C) f32 conservative entries (for the group early-out),
     counts (T,)).
     """
     if bounds is not None:
@@ -136,27 +140,48 @@ def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
 
     tiles = origins.shape[0]
     c = cs.aabb_min.shape[0]
-    entry = jnp.full((tiles, c), -BIG)
-    exit_ = jnp.full_like(entry, BIG)
-    for ax in range(3):
-        n_lo = cs.aabb_min[None, :, ax] - o_hi[:, None, ax]
-        n_hi = cs.aabb_max[None, :, ax] - o_lo[:, None, ax]
-        i_lo, i_hi = _interval_inv(d_lo[:, None, ax], d_hi[:, None, ax])
-        prods = jnp.stack(
-            [n_lo * i_lo, n_lo * i_hi, n_hi * i_lo, n_hi * i_hi], axis=0)
-        prods = jnp.clip(prods, -BIG, BIG)
-        entry = jnp.maximum(entry, prods.min(axis=0))
-        exit_ = jnp.minimum(exit_, prods.max(axis=0))
 
-    overlap = (entry <= exit_) & (exit_ >= t_min) & cs.valid[None, :]
-    entry = jnp.maximum(entry, t_min)
-    if bounds is not None and "len_hi" in bounds:
-        entry = entry / bounds["len_hi"][:, None]
+    if impl == "pallas":
+        len_hi = None
+        if bounds is not None and "len_hi" in bounds:
+            len_hi = bounds["len_hi"]
+        tp = jnp.zeros((tiles, 16), jnp.float32)
+        tp = tp.at[:, 0:3].set(o_lo).at[:, 3:6].set(o_hi)
+        tp = tp.at[:, 6:9].set(d_lo).at[:, 9:12].set(d_hi)
+        tp = tp.at[:, 12].set(1.0 if len_hi is None else len_hi)
+        tp = tp.at[:, 13].set(t_min)
+        pad_t = (-tiles) % 8
+        if pad_t:  # parked rows: zero-span rays far outside -> no overlap
+            park = jnp.zeros((pad_t, 16), jnp.float32)
+            park = park.at[:, 0:6].set(1e30).at[:, 6:12].set(1.0)
+            park = park.at[:, 12].set(1.0)
+            tp = jnp.concatenate([tp, park])
+        cb = planar_cluster_rows(cs)
+        entry, ovl = _bin_pallas(tp, cb)
+        entry = entry[:tiles]
+        overlap = ovl[:tiles] != 0
+    else:
+        entry = jnp.full((tiles, c), -BIG)
+        exit_ = jnp.full_like(entry, BIG)
+        for ax in range(3):
+            n_lo = cs.aabb_min[None, :, ax] - o_hi[:, None, ax]
+            n_hi = cs.aabb_max[None, :, ax] - o_lo[:, None, ax]
+            i_lo, i_hi = _interval_inv(d_lo[:, None, ax], d_hi[:, None, ax])
+            prods = jnp.stack(
+                [n_lo * i_lo, n_lo * i_hi, n_hi * i_lo, n_hi * i_hi], axis=0)
+            prods = jnp.clip(prods, -BIG, BIG)
+            entry = jnp.maximum(entry, prods.min(axis=0))
+            exit_ = jnp.minimum(exit_, prods.max(axis=0))
 
-    pad = (-c) % 32
-    if pad:
-        overlap = jnp.concatenate(
-            [overlap, jnp.zeros((tiles, pad), bool)], axis=1)
+        overlap = (entry <= exit_) & (exit_ >= t_min) & cs.valid[None, :]
+        entry = jnp.maximum(entry, t_min)
+        if bounds is not None and "len_hi" in bounds:
+            entry = entry / bounds["len_hi"][:, None]
+        pad = (-c) % 32
+        if pad:
+            overlap = jnp.concatenate(
+                [overlap, jnp.zeros((tiles, pad), bool)], axis=1)
+
     w = overlap.shape[1] // 32
     bits = overlap.reshape(tiles, w, 32).astype(jnp.int32)
     words = (bits << jnp.arange(32, dtype=jnp.int32)[None, None, :]).sum(-1)
@@ -164,6 +189,84 @@ def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None):
     cum = jnp.cumsum(cnt_w, axis=1)
     counts = cnt_w.sum(axis=1)
     return words, cum, entry, counts
+
+
+def _bin_kernel_body(tp_ref, cb_ref, entry_ref, ovl_ref):
+    """Slab-test 8 tiles x C clusters per grid step, entirely in VMEM.
+
+    tp_ref: (8, 16) per-tile interval params
+      [o_lo xyz | o_hi xyz | d_lo xyz | d_hi xyz | len_hi | t_min | pad pad]
+    cb_ref: (8, C) planar cluster rows
+      [lo_x lo_y lo_z hi_x hi_y hi_z valid pad] — fetched once (constant map).
+    Writes conservative entry distances and 0/1 overlap flags.
+
+    The XLA formulation of the same math materializes ~30 (T, C) f32
+    intermediates in HBM (measured 4.4 ms at 8100 x 1024 after subtracting
+    dispatch overhead); here the whole test runs on registers/VMEM.
+    """
+    cb = cb_ref[...]
+    tp = tp_ref[...]
+    c = cb.shape[1]
+    entry = jnp.full((8, c), -BIG, jnp.float32)
+    exit_ = jnp.full((8, c), BIG, jnp.float32)
+    for ax in range(3):
+        n_lo = cb[ax : ax + 1, :] - tp[:, 3 + ax : 4 + ax]  # (8, C)
+        n_hi = cb[3 + ax : 4 + ax, :] - tp[:, ax : ax + 1]
+        d_lo = tp[:, 6 + ax : 7 + ax]
+        d_hi = tp[:, 9 + ax : 10 + ax]
+        same = (d_lo > 0) | (d_hi < 0)
+        i_lo = jnp.where(same, 1.0 / d_hi, -BIG)
+        i_hi = jnp.where(same, 1.0 / d_lo, BIG)
+        a = jnp.clip(n_lo * i_lo, -BIG, BIG)
+        b = jnp.clip(n_lo * i_hi, -BIG, BIG)
+        cc = jnp.clip(n_hi * i_lo, -BIG, BIG)
+        d2 = jnp.clip(n_hi * i_hi, -BIG, BIG)
+        entry = jnp.maximum(entry, jnp.minimum(jnp.minimum(a, b),
+                                               jnp.minimum(cc, d2)))
+        exit_ = jnp.minimum(exit_, jnp.maximum(jnp.maximum(a, b),
+                                               jnp.maximum(cc, d2)))
+    t_min = tp[:, 13:14]
+    ovl = (entry <= exit_) & (exit_ >= t_min) & (cb[6:7, :] > 0.5)
+    ovl_ref[...] = ovl.astype(jnp.int32)
+    entry_ref[...] = jnp.maximum(entry, t_min) / tp[:, 12:13]
+
+
+def _bin_pallas(tp, cb):
+    """(T8, 16) params x (8, C) clusters -> (T8, C) entry, (T8, C) i32 ovl."""
+    t8 = tp.shape[0]
+    c = cb.shape[1]
+    grid_spec = pl.GridSpec(
+        grid=(t8 // 8,),
+        in_specs=[
+            pl.BlockSpec((8, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        _bin_kernel_body,
+        out_shape=[
+            jax.ShapeDtypeStruct((t8, c), jnp.float32),
+            jax.ShapeDtypeStruct((t8, c), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(tp, cb)
+
+
+def planar_cluster_rows(cs: ClusterSet) -> jax.Array:
+    """(8, Cp) planar AABB rows for the binning kernel (lanes padded to 128
+    with invalid clusters).  Precompute once per BVH build."""
+    c = cs.aabb_min.shape[0]
+    cp = c + ((-c) % 128)
+    cb = jnp.zeros((8, cp), jnp.float32)
+    cb = cb.at[0:3, :c].set(cs.aabb_min.T)
+    cb = cb.at[3:6, :c].set(cs.aabb_max.T)
+    cb = cb.at[6, :c].set(cs.valid.astype(jnp.float32))
+    return cb
 
 
 def _coarsen_bounds(bounds, tiles: int):
@@ -217,12 +320,65 @@ def _nth_set_bit(word, n):
     return bit
 
 
+def rank_table_bits(words, cum, cap: int):
+    """(T, cap) table: entry j = cluster id of tile t's j-th set bit.
+
+    Built DENSELY — zero gathers.  The word holding rank j is
+    ``p = sum_w [cum[t, w] <= j]`` (one (T, cap, W) elementwise compare),
+    the word value and its preceding popcount come from one-hot sums over
+    the same axis, and the in-word bit via the vectorized popcount descent.
+    ~100M VPU ops at 8100 tiles x 1024 clusters — versus the per-sub-visit
+    binary searches of the v1 builder whose ~30 gather passes of budget
+    rows cost ~5 ms/frame (gathers are ROW-bound at ~76 Mrows/s).
+
+    Ranks >= the tile's count return garbage (callers clamp); ranks >= cap
+    are NOT representable — build_visit_groups_table splits those off to
+    the v1 path.
+    """
+    t, w = words.shape
+    j = jnp.arange(cap, dtype=jnp.int32)
+    gt = (cum[:, None, :] > j[None, :, None]).astype(jnp.int32)  # (T, cap, W)
+    p = w - gt.sum(-1)  # (T, cap) word index of rank j (first w: cum > j)
+    oh = gt - jnp.concatenate(
+        [jnp.zeros((t, cap, 1), jnp.int32), gt[:, :, :-1]], axis=2)  # 1 at p
+    word_at = (words[:, None, :] * oh).sum(-1)  # (T, cap) == words[t, p]
+    before = ((cum[:, None, :] * oh).sum(-1) -
+              jax.lax.population_count(word_at))  # cum[t, p-1]
+    bit = _nth_set_bit(word_at, j[None, :] - before)
+    return jnp.minimum(p, w - 1) * 32 + bit
+
+
+def _tile_of_visit(offs, g_counts, budget: int, start):
+    """tile id of each visit slot in [start, start+budget) — via one
+    T-row scatter + a cummax instead of a 13-pass searchsorted."""
+    t = offs.shape[0]
+    pos = offs - start  # first slot of each tile's group run, window-local
+    tid = jnp.arange(t, dtype=jnp.int32)
+    # Only tiles with groups scatter (their offs are strictly increasing);
+    # out-of-window and empty tiles drop.
+    pos = jnp.where((g_counts > 0) & (pos >= 0) & (pos < budget), pos, budget)
+    base = jnp.zeros((budget + 1,), jnp.int32).at[pos].max(
+        tid + 1, mode="drop")[:budget]
+    # The tile already in progress at `start` (its run began before the
+    # window): one scalar search seeds slot 0.
+    first = jnp.searchsorted(offs + g_counts, start, side="right")
+    base = base.at[0].max(jnp.minimum(first, t - 1).astype(jnp.int32) + 1)
+    return jax.lax.cummax(base) - 1
+
+
 def build_visit_groups_bits(words, cum, entry, counts, budget: int, g: int,
-                            start=0):
-    """Grouped visit arrays from bit-walk binning — same contract as
-    build_visit_groups.  Gather volume scales with the BUDGET (a binary
-    search over each tile's ~C/32 running word popcounts per sub-visit),
-    never with C."""
+                            start=0, rank_offset=None):
+    """Grouped visit arrays from bit-walk binning (the general/slow path —
+    same contract as binning_oracle.build_visit_groups).  Gather volume
+    scales with the BUDGET (a binary search over each tile's ~C/32 running
+    word popcounts per sub-visit), never with C.
+
+    ``rank_offset``: optional (T,) i32 added to every in-tile rank —
+    ``counts`` then covers only the ranks PAST the offset.  Used by
+    _search's overflow phase: the table builder schedules ranks [0, cap)
+    cheaply and this path picks up ranks [cap, counts) for the rare tiles
+    that exceed the table.
+    """
     t, w = words.shape
     start = jnp.asarray(start, jnp.int32)
     g_counts = (counts + g - 1) // g
@@ -238,6 +394,10 @@ def build_visit_groups_bits(words, cum, entry, counts, budget: int, g: int,
     j = v - offs[tile_c]
     base = j * g
     last = jnp.maximum(counts[tile_c] - 1, 0)
+    if rank_offset is not None:
+        roff = rank_offset[tile_c]
+        base = base + roff
+        last = last + roff
 
     nbits = max((w - 1).bit_length(), 1)
 
@@ -271,6 +431,49 @@ def build_visit_groups_bits(words, cum, entry, counts, budget: int, g: int,
     return visit_tile, vcs, visit_first, ve, remaining
 
 
+def build_visit_groups_table(table, entry, counts, budget: int, g: int,
+                             start=0):
+    """Grouped visit arrays via the precomputed rank table — the FAST path.
+
+    Same contract as build_visit_groups_bits but ``counts`` must already be
+    clamped to the table's cap.  Per sub-visit this costs ONE table gather
+    and ONE entry gather (vs the v1 path's 5-gather binary search per
+    sub-visit), and the visit->tile map costs one T-row scatter + cummax
+    (vs a 13-pass searchsorted).
+    """
+    t, cap = table.shape
+    start = jnp.asarray(start, jnp.int32)
+    g_counts = (counts + g - 1) // g
+    ends = jnp.cumsum(g_counts)
+    offs = ends - g_counts
+    total = ends[-1]
+    remaining = jnp.maximum(total - start - budget, 0)
+
+    v = jnp.arange(budget, dtype=jnp.int32) + start
+    in_range = v < total
+    tile_c = jnp.minimum(_tile_of_visit(offs, g_counts, budget, start), t - 1)
+    tile_c = jnp.maximum(tile_c, 0)
+    j = v - offs[tile_c]
+    base = j * g
+    last = jnp.maximum(counts[tile_c] - 1, 0)
+
+    vcs = []
+    ve = None
+    for kk in range(g):
+        r = jnp.minimum(base + kk, last)
+        cl = table[tile_c, jnp.clip(r, 0, cap - 1)]
+        valid_kk = in_range & (base + kk <= last)
+        vcs.append(jnp.where(valid_kk, cl, -1))
+        e = entry[tile_c, jnp.clip(cl, 0, entry.shape[1] - 1)]
+        e = jnp.where(valid_kk, e, BIG)
+        ve = e if ve is None else jnp.minimum(ve, e)
+
+    ve = jnp.where(in_range, jnp.where(jnp.isfinite(ve), ve, 0.0), 0.0)
+    visit_tile = jnp.where(in_range, tile_c, t)
+    visit_first = (in_range & ((j == 0) | (v == start))).astype(jnp.int32)
+    return visit_tile, vcs, visit_first, ve, remaining
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
@@ -278,7 +481,17 @@ def build_visit_groups_bits(words, cum, entry, counts, budget: int, g: int,
 VISIT_GROUP = 4  # clusters folded per grid step
 
 
-def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
+# Validity slack for the approx-reciprocal tail: the ~2^-14 relative error
+# of the VPU rcp instruction fuzzes (u, v) near triangle edges; q >= -EPS
+# double-ACCEPTS the fringe instead of double-rejecting it (watertight), and
+# winners are re-evaluated exactly outside the kernel.  The packed-t compare
+# already truncates 11 mantissa bits (~1.2e-4 relative), so the rcp error
+# stays below the fold's existing fuzz.
+RCP_EPS = 1e-4
+
+
+def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
+                 tail: str = "div"):
     # The group-local column rides the 11 low mantissa bits of packed t;
     # sentinel 2047 marks "carried best wins", so g*k must stay below it.
     if g * k > 2047:
@@ -343,11 +556,19 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
                     preferred_element_type=jnp.float32)  # (6k, R)
                 opz = mm[2 * k : 3 * k]
                 dpz = mm[5 * k : 6 * k]
-                tt = -opz / dpz
+                if tail == "rcp":
+                    # approx reciprocal + eps-expanded validity (see RCP_EPS):
+                    # r2's plain q >= 0 attempt leaked 0.2% of hits because
+                    # BOTH triangles sharing an edge rejected the fuzzed hit.
+                    tt = -opz * pl.reciprocal(dpz, approx=True)
+                    q_min = -RCP_EPS
+                else:
+                    tt = -opz / dpz
+                    q_min = 0.0
                 u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
                 vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
                 q = jnp.minimum(jnp.minimum(u, vv), 1.0 - u - vv)
-                ok = (q >= 0.0) & (tt > t_min)  # NaN/inf t or bary => false
+                ok = (q >= q_min) & (tt > t_min)  # NaN/inf t or bary => false
                 row = jax.lax.broadcasted_iota(jnp.int32, (k, tile_r), 0)
                 packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | (
                     row + kk * k)
@@ -375,9 +596,9 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "tile_r", "budget"))
+@partial(jax.jit, static_argnames=("k", "tile_r", "budget", "tail"))
 def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
-            budget: int):
+            budget: int, tail: str = "div"):
     """One kernel launch over a grouped visit chunk.
 
     rays8: (T+1, R, 8) incl. dummy tile; init_t/init_slot: (T+1, 1, R).
@@ -412,7 +633,7 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
         ],
     )
     out_t, out_slot = pl.pallas_call(
-        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g),
+        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g, tail),
         out_shape=[
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.float32),
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32),
@@ -616,13 +837,24 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
     return t, u, v
 
 
-@partial(jax.jit, static_argnames=("tile_r", "budget", "g"))
+RANK_CAP = 128  # rank-table width: covers p99 tiles; the rest overflow
+
+
+@partial(jax.jit, static_argnames=("tile_r", "budget", "g", "tail", "cap"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
-            budget: int, bounds=None, g: int | None = None):
+            budget: int, bounds=None, g: int | None = None,
+            tail: str = "div", cap: int = RANK_CAP):
     """(best_t, best_slot) over all rays (padded to whole tiles inside).
 
     ``g`` (clusters folded per grid step) defaults to 512 // k so a step
-    always covers 512 triangles regardless of cluster granularity."""
+    always covers 512 triangles regardless of cluster granularity.
+
+    Scheduling is two-phase: ranks [0, cap) of every tile come from the
+    dense rank table (gather-light fast path — the overwhelming majority;
+    p99 tiles bin < cap clusters), then a while_loop picks up ranks
+    [cap, counts) for the rare fat tiles via the general v1 builder.  The
+    while body only executes when such tiles exist.
+    """
     if g is None:
         g = max(1, 512 // cs.k)
     n = origins.shape[0]
@@ -636,15 +868,43 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     tiles = m // tile_r
     bounds = _coarsen_bounds(bounds, tiles)
 
+    # Seed each ray's carried best with its SCENE-EXIT distance: a ray can
+    # have no hit past the point it leaves the scene box, so tiles mixing
+    # hit and sky rays (the silhouette p99 tail that dominates visits) can
+    # early-out instead of being pinned open by sky rays' t=10000 seeds.
+    # The margin covers the packed-t truncation fuzz so boundary hits
+    # still register against the seed.
+    lo = jnp.min(jnp.where(cs.valid[:, None], cs.aabb_min, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(cs.valid[:, None], cs.aabb_max, -jnp.inf), axis=0)
+    tn, tf = jnp.float32(-3e38), jnp.float32(3e38)
+    for ax in range(3):
+        inv = 1.0 / jnp.where(jnp.abs(dirs[:, ax]) < 1e-12,
+                              jnp.where(dirs[:, ax] < 0, -1e-12, 1e-12),
+                              dirs[:, ax])
+        a = (lo[ax] - origins[:, ax]) * inv
+        b = (hi[ax] - origins[:, ax]) * inv
+        tn = jnp.maximum(tn, jnp.minimum(a, b))
+        tf = jnp.minimum(tf, jnp.maximum(a, b))
+    exit_t = jnp.where((tn <= tf) & (tf > 0), tf, T_MIN)
+    t_init = jnp.minimum(t_init, exit_t * 1.001 + 1e-2)
+
     ot = origins.reshape(tiles, tile_r, 3)
     dt = dirs.reshape(tiles, tile_r, 3)
     # Sort-free bit-walk binning (see bin_clusters_bits) — one path for
     # all scene sizes.
     words, cum, entry, counts = bin_clusters_bits(ot, dt, cs, bounds=bounds)
+    cap = min(cap, words.shape[1] * 32)
+    counts_lo = jnp.minimum(counts, cap)
+    counts_hi = counts - counts_lo
+    table = rank_table_bits(words, cum, cap)
 
-    def make_groups(start):
-        return build_visit_groups_bits(words, cum, entry, counts, budget, g,
-                                       start=start)
+    def make_lo(start):
+        return build_visit_groups_table(table, entry, counts_lo, budget, g,
+                                        start=start)
+
+    def make_hi(start):
+        return build_visit_groups_bits(words, cum, entry, counts_hi, budget,
+                                       g, start=start, rank_offset=counts_lo)
 
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,
@@ -658,29 +918,34 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     )
     best_slot = jnp.full((tiles + 1, 1, tile_r), -1, jnp.int32)
 
-    vt, vcs, vf, ve, _ = make_groups(0)
+    vt, vcs, vf, ve, _ = make_lo(0)
     best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
-                                wplanar, cs.k, tile_r, budget)
+                                wplanar, cs.k, tile_r, budget, tail)
 
-    # Rare overflow: extra launches walk the global group list in budget-
-    # sized windows [start, start+budget) — strictly new work each launch,
-    # so the loop terminates in ceil(total/budget) iterations.  A tile
+    # Overflow launches walk each phase's group list in budget-sized
+    # windows [start, start+budget) — strictly new work each launch, so
+    # each loop terminates in ceil(total/budget) iterations.  A tile
     # resumed mid-way re-seeds its block from the carried (best_t,
-    # best_slot) via visit_first (see build_visit_groups).
-    total = jnp.sum((counts + g - 1) // g)
+    # best_slot) via visit_first.
+    total_lo = jnp.sum((counts_lo + g - 1) // g)
+    total_hi = jnp.sum((counts_hi + g - 1) // g)
 
-    def cond(state):
-        return state[0] < total
-
-    def body(state):
-        start, bt, bs = state
-        vt2, vcs2, vf2, ve2, _ = make_groups(state[0])
-        bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar, cs.k,
-                           tile_r, budget)
-        return start + budget, bt2, bs2
+    def body(make_groups):
+        def f(state):
+            start, bt, bs = state
+            vt2, vcs2, vf2, ve2, _ = make_groups(start)
+            bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar,
+                               cs.k, tile_r, budget, tail)
+            return start + budget, bt2, bs2
+        return f
 
     _, best_t, best_slot = jax.lax.while_loop(
-        cond, body, (jnp.int32(budget), best_t, best_slot)
+        lambda s: s[0] < total_lo, body(make_lo),
+        (jnp.int32(budget), best_t, best_slot)
+    )
+    _, best_t, best_slot = jax.lax.while_loop(
+        lambda s: s[0] < total_hi, body(make_hi),
+        (jnp.int32(0), best_t, best_slot)
     )
 
     best_t = best_t[:tiles].reshape(-1)[:n]

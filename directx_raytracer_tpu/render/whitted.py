@@ -107,11 +107,14 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
     key = jnp.where(active, key, jnp.int32(1) << 29)
 
     _, order = jax.lax.sort_key_val(key, jnp.arange(q2, dtype=jnp.int32))
+    take = min(capacity, q2)
     packed = jnp.concatenate(
         [o, d, cand["throughput"],
          jax.lax.bitcast_convert_type(cand["pixel"], jnp.float32)[:, None]],
         axis=1,
-    )[order[:capacity]]  # ONE wide gather of the survivors
+    )[order[:take]]  # ONE wide gather of the survivors
+    if capacity > take:  # chunk-aligned queues can exceed the candidates
+        packed = jnp.pad(packed, ((0, capacity - take), (0, 0)))
 
     n_alive = jnp.sum(active)
     live = jnp.arange(capacity) < n_alive
@@ -131,16 +134,15 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
     return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
 
 
-def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: bool,
-                capacity: int | None = None, aligned: bool = False,
-                tile_bounds=None):
-    """One wavefront bounce: intersect, shade terminals into framebuffer,
-    emit compacted specular continuations.  Returns (state', fb', stats).
+def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
+                 last: bool, aligned: bool = False, tile_bounds=None):
+    """Intersect + shade ONE wavefront slice; returns (fb', candidates).
 
-    ``aligned=True`` (primary pass): rays are in framebuffer order, so the
-    contribution is a plain add — 2M-row scatters serialize on TPU."""
+    Candidates come back as (A, B) dicts of the slice's length: A = the
+    overflow-surviving branch (mirror bounce / refractive transmission),
+    B = the droppable Fresnel-reflection branch.  ``None`` when ``last``.
+    """
     geo = dscene.geometry
-    q = capacity or state["origins"].shape[0]
     active = state["active"]
 
     hit = intersect_fn(state["origins"], state["dirs"], geo, tile_bounds=tile_bounds)
@@ -200,7 +202,7 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
         framebuffer = framebuffer.at[pixel].add(contrib, mode="drop")
 
     if last:
-        return None, framebuffer, {"alive": jnp.int32(0), "dropped": jnp.int32(0)}
+        return framebuffer, None
 
     # --- specular continuations --------------------------------------------
     d = state["dirs"]
@@ -238,10 +240,32 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
         "active": b_mask,
     }
 
+    for c in (cand_a, cand_b):
+        c["active"] = c["active"] & (
+            jnp.max(c["throughput"], axis=-1) > MIN_THROUGHPUT
+        )
+    return framebuffer, (cand_a, cand_b)
+
+
+def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn,
+                last: bool, capacity: int | None = None, aligned: bool = False,
+                tile_bounds=None):
+    """One UNCHUNKED wavefront pass (the primary): intersect, shade
+    terminals into the framebuffer, emit compacted specular continuations.
+    Returns (state', fb', stats).
+
+    ``aligned=True`` (primary pass): rays are in framebuffer order, so the
+    contribution is a plain add — 2M-row scatters serialize on TPU."""
+    geo = dscene.geometry
+    q = capacity or state["origins"].shape[0]
+    framebuffer, cands = _shade_chunk(
+        dscene, state, framebuffer, intersect_fn, occluder_fn, last,
+        aligned=aligned, tile_bounds=tile_bounds)
+    if cands is None:
+        return None, framebuffer, {"alive": jnp.int32(0),
+                                   "dropped": jnp.int32(0)}
+    cand_a, cand_b = cands
     cand = {k: jnp.concatenate([cand_a[k], cand_b[k]]) for k in cand_a}
-    cand["active"] = cand["active"] & (
-        jnp.max(cand["throughput"], axis=-1) > MIN_THROUGHPUT
-    )
     # Branch A occupies the first half of the candidate list; split_at makes
     # overflow drop the Fresnel-reflection half (B) first.
     new_state, n_alive, n_drop = _compact_sort(
@@ -249,6 +273,62 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn, last: boo
         split_at=cand_a["origins"].shape[0],
     )
     return new_state, framebuffer, {"alive": n_alive, "dropped": n_drop}
+
+
+def _shade_pass_bounce(dscene, state, framebuffer, n_alive, intersect_fn,
+                       occluder_fn, last: bool, chunk: int):
+    """One BOUNCE pass, chunked: only ceil(n_alive / chunk) slices execute.
+
+    The queue is compacted (live rays first), so a ``while_loop`` over
+    fixed-size slices stops after the live prefix — per-bounce cost then
+    scales with the surviving wavefront instead of the full static queue
+    (VERDICT r2 next-step #2: bounce passes ran at capacity n_pix and were
+    measured at ~25% of the frame while <5% of rays were alive).  Shapes
+    stay static and no host sync is needed: the loop bound ``n_alive``
+    rides the device as the previous pass's compaction count.
+    """
+    geo = dscene.geometry
+    q = state["origins"].shape[0]
+    n_chunks = q // chunk
+
+    zero3 = jnp.zeros((q, 3), jnp.float32)
+    cand = {
+        "origins": jnp.concatenate([zero3, zero3]),
+        "dirs": jnp.ones((2 * q, 3), jnp.float32),
+        "throughput": jnp.concatenate([zero3, zero3]),
+        "pixel": jnp.full((2 * q,), 2**31 - 1, jnp.int32),
+        "active": jnp.zeros((2 * q,), bool),
+    }
+
+    def body(carry):
+        ci, fb, cand = carry
+        off = ci * chunk
+        sub = {k: jax.lax.dynamic_slice_in_dim(v, off, chunk)
+               for k, v in state.items()}
+        fb, cands = _shade_chunk(dscene, sub, fb, intersect_fn, occluder_fn,
+                                 last, aligned=False, tile_bounds=None)
+        if cands is not None:
+            ca, cb = cands
+            for k in cand:
+                cand[k] = jax.lax.dynamic_update_slice_in_dim(
+                    cand[k], ca[k], off, axis=0)
+                cand[k] = jax.lax.dynamic_update_slice_in_dim(
+                    cand[k], cb[k], q + off, axis=0)
+        return ci + 1, fb, cand
+
+    def cond(carry):
+        return carry[0] * chunk < n_alive
+
+    _, framebuffer, cand = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), framebuffer, cand))
+
+    if last:
+        return None, framebuffer, {"alive": jnp.int32(0),
+                                   "dropped": jnp.int32(0)}
+    new_state, n_alive2, n_drop = _compact_sort(
+        cand, q, geo.scene_lo, geo.scene_hi, split_at=q,
+    )
+    return new_state, framebuffer, {"alive": n_alive2, "dropped": n_drop}
 
 
 def render_tile(
@@ -314,6 +394,12 @@ def render_tile(
     else:
         offset_weights = jnp.asarray(offset_weights, jnp.float32)
 
+    # Bounce queues are chunk-aligned so the chunked bounce passes can walk
+    # just the live prefix (see _shade_pass_bounce).
+    q = n_pix * queue_factor
+    chunk = -(-max(q // 16, 256) // 256) * 256
+    q_pad = -(-q // chunk) * chunk
+
     framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
     stats = []
     for k in range(offsets.shape[0]):
@@ -335,14 +421,23 @@ def render_tile(
             "pixel": jnp.arange(n_pix, dtype=jnp.int32),
             "active": jnp.ones((n_pix,), bool),
         }
+        alive = jnp.int32(n_pix)
         for depth in range(max_depth):
-            state, framebuffer, s = _shade_pass(
-                dscene, state, framebuffer, isect, occluder,
-                last=(depth == max_depth - 1),
-                capacity=n_pix * queue_factor,
-                aligned=(depth == 0),
-                tile_bounds=bounds if depth == 0 else None,
-            )
+            if depth == 0:
+                state, framebuffer, s = _shade_pass(
+                    dscene, state, framebuffer, isect, occluder,
+                    last=(max_depth == 1),
+                    capacity=q_pad,
+                    aligned=True,
+                    tile_bounds=bounds,
+                )
+            else:
+                state, framebuffer, s = _shade_pass_bounce(
+                    dscene, state, framebuffer, alive, isect, occluder,
+                    last=(depth == max_depth - 1),
+                    chunk=chunk,
+                )
+            alive = s["alive"]
             stats.append(s)
             if state is None:
                 break

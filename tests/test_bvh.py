@@ -234,3 +234,47 @@ class TestBinnerOracleEquivalence:
             }
             assert bit_set == sorted_set, f"tile {t} visit sets differ"
             assert all(cl < c for cl in bit_set)
+
+    def test_pallas_bin_matches_xla(self):
+        """The fused binning kernel must reproduce the XLA slab pass:
+        same overlap words/counts, conservative entries close."""
+        import jax.numpy as jnp
+
+        from directx_raytracer_tpu.bvh.pallas_intersect import (
+            bin_clusters_bits,
+        )
+        from directx_raytracer_tpu.ops.rays import (
+            generate_rays_tiled, tile_frustum_bounds,
+        )
+
+        scene = testscenes.bench_scene(n_tris=5_000, width=96, height=48)
+        d = build_device_scene(scene)
+        bvh = build_bvh(d.geometry)
+        pos, rot = scene.camera.snapshot()
+        o, dd = generate_rays_tiled(jnp.asarray(pos), jnp.asarray(rot),
+                                    96, 48, 8, 32)
+        tiles = o.shape[0] // 256
+        ot, dt = o.reshape(tiles, 256, 3), dd.reshape(tiles, 256, 3)
+        for bounds in (None, tile_frustum_bounds(
+                jnp.asarray(pos), jnp.asarray(rot), 96, 48, 8, 32)):
+            wp, cp, ep, np_ = bin_clusters_bits(ot, dt, bvh.clusters,
+                                                bounds=bounds, impl="pallas")
+            wx, cx, ex, nx = bin_clusters_bits(ot, dt, bvh.clusters,
+                                               bounds=bounds, impl="xla")
+            np.testing.assert_array_equal(np.asarray(np_), np.asarray(nx))
+            # pallas words may have extra all-zero columns (128-lane pad)
+            w_min = min(wp.shape[1], wx.shape[1])
+            np.testing.assert_array_equal(np.asarray(wp)[:, :w_min],
+                                          np.asarray(wx)[:, :w_min])
+            assert (np.asarray(wp)[:, w_min:] == 0).all()
+            ovl = np.asarray(wx)[:, :w_min] != 0
+            c = bvh.clusters.aabb_min.shape[0]
+            mask = np.zeros((tiles, c), bool)
+            for t in range(tiles):
+                for w in range(w_min):
+                    for b in range(32):
+                        if w * 32 + b < c and (int(np.asarray(wx)[t, w]) >> b) & 1:
+                            mask[t, w * 32 + b] = True
+            ep_n, ex_n = np.asarray(ep)[:, :c], np.asarray(ex)[:, :c]
+            np.testing.assert_allclose(ep_n[mask], ex_n[mask], rtol=1e-5,
+                                       atol=1e-5)

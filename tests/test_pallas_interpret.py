@@ -149,3 +149,42 @@ def test_coarsened_bounds_at_768_chunks(scene_geo):
                                budget=256)
     np.testing.assert_array_equal(np.asarray(with_b.tri),
                                   np.asarray(without.tri))
+
+
+def test_rank_table_matches_oracle_walk(scene_geo, rays):
+    """rank_table_bits[t, j] must equal the j-th set bit of tile t's words."""
+    from directx_raytracer_tpu.bvh.pallas_intersect import (
+        bin_clusters_bits, rank_table_bits)
+
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    tiles = o.shape[0] // TILE_R
+    words, cum, entry, counts = bin_clusters_bits(
+        o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3),
+        bvh.clusters)
+    cap = 16
+    table = np.asarray(rank_table_bits(words, cum, cap))
+    wn = np.asarray(words)
+    cn = np.asarray(counts)
+    assert cn.max() > 0
+    for t in range(tiles):
+        bits = [w * 32 + b for w in range(wn.shape[1]) for b in range(32)
+                if (wn[t, w] >> b) & 1]
+        for j in range(min(len(bits), cap)):
+            assert table[t, j] == bits[j], (t, j)
+
+
+def test_small_cap_forces_hi_phase(scene_geo, rays):
+    """cap=4 pushes most ranks through the overflow (v1) phase — results
+    must be identical to the full-cap table path."""
+    from directx_raytracer_tpu.bvh.pallas_intersect import _search
+
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    t_init = jnp.full((o.shape[0],), 10000.0, jnp.float32)
+    bt_a, bs_a = _search(o, dd, t_init, bvh.clusters, bvh.wplanar, TILE_R,
+                         128, cap=128)
+    bt_b, bs_b = _search(o, dd, t_init, bvh.clusters, bvh.wplanar, TILE_R,
+                         128, cap=4)
+    np.testing.assert_array_equal(np.asarray(bs_a), np.asarray(bs_b))
+    np.testing.assert_array_equal(np.asarray(bt_a), np.asarray(bt_b))
