@@ -157,7 +157,8 @@ def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
             park = park.at[:, 12].set(1.0)
             tp = jnp.concatenate([tp, park])
         cb = planar_cluster_rows(cs)
-        entry, ovl = _bin_pallas(tp, cb)
+        sb = planar_super_rows(cb) if cb.shape[1] >= SUPER_MIN_C else None
+        entry, ovl = _bin_pallas(tp, cb, sb)
         entry = entry[:tiles]
         overlap = ovl[:tiles] != 0
     else:
@@ -206,12 +207,26 @@ def _bin_kernel_body(tp_ref, cb_ref, entry_ref, ovl_ref):
     """
     cb = cb_ref[...]
     tp = tp_ref[...]
-    c = cb.shape[1]
-    entry = jnp.full((8, c), -BIG, jnp.float32)
-    exit_ = jnp.full((8, c), BIG, jnp.float32)
+    entry, ovl = _slab_block(
+        tp, tuple(cb[ax : ax + 1, :] for ax in range(3)),
+        tuple(cb[3 + ax : 4 + ax, :] for ax in range(3)), cb[6:7, :])
+    ovl_ref[...] = ovl.astype(jnp.int32)
+    entry_ref[...] = entry
+
+
+SUPER_BLOCK = 128  # clusters per superblock in the skip-binned kernel
+SUPER_MIN_C = 2048  # below this the dense pass is cheap enough
+
+
+def _slab_block(tp, lo_rows, hi_rows, valid_row):
+    """Shared slab math: (1, n) cluster rows vs 8 tiles' interval params.
+    Returns (entry, ovl) each (8, n)."""
+    n = lo_rows[0].shape[1]
+    entry = jnp.full((8, n), -BIG, jnp.float32)
+    exit_ = jnp.full((8, n), BIG, jnp.float32)
     for ax in range(3):
-        n_lo = cb[ax : ax + 1, :] - tp[:, 3 + ax : 4 + ax]  # (8, C)
-        n_hi = cb[3 + ax : 4 + ax, :] - tp[:, ax : ax + 1]
+        n_lo = lo_rows[ax] - tp[:, 3 + ax : 4 + ax]
+        n_hi = hi_rows[ax] - tp[:, ax : ax + 1]
         d_lo = tp[:, 6 + ax : 7 + ax]
         d_hi = tp[:, 9 + ax : 10 + ax]
         same = (d_lo > 0) | (d_hi < 0)
@@ -226,35 +241,75 @@ def _bin_kernel_body(tp_ref, cb_ref, entry_ref, ovl_ref):
         exit_ = jnp.minimum(exit_, jnp.maximum(jnp.maximum(a, b),
                                                jnp.maximum(cc, d2)))
     t_min = tp[:, 13:14]
-    ovl = (entry <= exit_) & (exit_ >= t_min) & (cb[6:7, :] > 0.5)
-    ovl_ref[...] = ovl.astype(jnp.int32)
-    entry_ref[...] = jnp.maximum(entry, t_min) / tp[:, 12:13]
+    ovl = (entry <= exit_) & (exit_ >= t_min) & (valid_row > 0.5)
+    return jnp.maximum(entry, t_min) / tp[:, 12:13], ovl
 
 
-def _bin_pallas(tp, cb):
-    """(T8, 16) params x (8, C) clusters -> (T8, C) entry, (T8, C) i32 ovl."""
+def _bin_kernel_super_body(tp_ref, cb_ref, sb_ref, entry_ref, ovl_ref):
+    """Superblock-skipped binning for LARGE C (the 1M-tri scaling fix).
+
+    A dense (8, C) slab pass is O(T x C) — ~4 GOps at 1M tris.  Here the
+    8 tiles first test the S = C/128 superblock hulls (cheap), then only
+    overlapping superblocks compute their (8, 128) cluster slice; whole
+    missed superblocks skip at the cost of one scalar cond each.
+    """
+    tp = tp_ref[...]
+    c = ovl_ref.shape[1]
+    entry_ref[...] = jnp.full((8, c), BIG, jnp.float32)
+    ovl_ref[...] = jnp.zeros((8, c), jnp.int32)
+    sb = sb_ref[...]
+    _, sovl = _slab_block(
+        tp, tuple(sb[ax : ax + 1, :] for ax in range(3)),
+        tuple(sb[3 + ax : 4 + ax, :] for ax in range(3)), sb[6:7, :])
+    for sbi in range(c // SUPER_BLOCK):
+        sl = slice(sbi * SUPER_BLOCK, (sbi + 1) * SUPER_BLOCK)
+
+        @pl.when(jnp.any(sovl[:, sbi]))
+        def _(sl=sl):
+            cb = cb_ref[:, sl]
+            e, o = _slab_block(
+                tp, tuple(cb[ax : ax + 1, :] for ax in range(3)),
+                tuple(cb[3 + ax : 4 + ax, :] for ax in range(3)), cb[6:7, :])
+            entry_ref[:, sl] = e
+            ovl_ref[:, sl] = o.astype(jnp.int32)
+
+
+def _bin_pallas(tp, cb, sb=None):
+    """(T8, 16) params x (8, C) clusters -> (T8, C) entry, (T8, C) i32 ovl.
+
+    ``sb``: optional (8, S) superblock hull rows — switches to the
+    superblock-skipped kernel (used when C >= SUPER_MIN_C)."""
     t8 = tp.shape[0]
     c = cb.shape[1]
+    in_specs = [
+        pl.BlockSpec((8, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (tp, cb)
+    body = _bin_kernel_body
+    if sb is not None:
+        s = sb.shape[1]
+        in_specs.append(
+            pl.BlockSpec((8, s), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args = (tp, cb, sb)
+        body = _bin_kernel_super_body
     grid_spec = pl.GridSpec(
         grid=(t8 // 8,),
-        in_specs=[
-            pl.BlockSpec((8, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
-        _bin_kernel_body,
+        body,
         out_shape=[
             jax.ShapeDtypeStruct((t8, c), jnp.float32),
             jax.ShapeDtypeStruct((t8, c), jnp.int32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tp, cb)
+    )(*args)
 
 
 def planar_cluster_rows(cs: ClusterSet) -> jax.Array:
@@ -267,6 +322,26 @@ def planar_cluster_rows(cs: ClusterSet) -> jax.Array:
     cb = cb.at[3:6, :c].set(cs.aabb_max.T)
     cb = cb.at[6, :c].set(cs.valid.astype(jnp.float32))
     return cb
+
+
+def planar_super_rows(cb: jax.Array) -> jax.Array:
+    """(8, Sp) superblock hull rows (hulls of SUPER_BLOCK-cluster runs of
+    ``cb``) for the skip-binned kernel, lanes padded to 128."""
+    cp = cb.shape[1]
+    s = cp // SUPER_BLOCK
+    r = cb[:, : s * SUPER_BLOCK].reshape(8, s, SUPER_BLOCK)
+    # per-LANE valid mask: pad lanes and invalid clusters carry zeros in cb,
+    # which would otherwise drag hulls toward the origin
+    lane_ok = r[6:7] > 0.5  # (1, S, B)
+    valid = r[6].max(axis=-1)
+    lo = jnp.where(lane_ok, r[0:3], BIG).min(axis=-1)
+    hi = jnp.where(lane_ok, r[3:6], -BIG).max(axis=-1)
+    lo = jnp.where(valid[None, :] > 0.5, lo, BIG)
+    hi = jnp.where(valid[None, :] > 0.5, hi, -BIG)
+    sp = s + ((-s) % 128)
+    sb = jnp.zeros((8, sp), jnp.float32)
+    sb = sb.at[0:3, :s].set(lo).at[3:6, :s].set(hi).at[6, :s].set(valid)
+    return sb
 
 
 def _coarsen_bounds(bounds, tiles: int):
@@ -336,6 +411,8 @@ def rank_table_bits(words, cum, cap: int):
     the v1 path.
     """
     t, w = words.shape
+    if w > 64:
+        return _rank_table_bits_hier(words, cum, cap)
     j = jnp.arange(cap, dtype=jnp.int32)
     gt = (cum[:, None, :] > j[None, :, None]).astype(jnp.int32)  # (T, cap, W)
     p = w - gt.sum(-1)  # (T, cap) word index of rank j (first w: cum > j)
@@ -346,6 +423,57 @@ def rank_table_bits(words, cum, cap: int):
               jax.lax.population_count(word_at))  # cum[t, p-1]
     bit = _nth_set_bit(word_at, j[None, :] - before)
     return jnp.minimum(p, w - 1) * 32 + bit
+
+
+def _rank_table_bits_hier(words, cum, cap: int):
+    """rank_table_bits for wide word rows (big C): two-level descent.
+
+    The flat build materializes (T, cap, W) one-hots — ~1 GB of
+    intermediates at 1M tris (W = 256).  Here words group into S = W/sub
+    SUPERWORDS: rank -> superword via a (T, cap, S) one-hot, then the
+    superword's ``sub`` words are SELECTED with batched f32 matmuls
+    ((T, cap, S) @ (T, S, sub) einsums — MXU work, values < 2^24 so f32 is
+    exact; 32-bit word PATTERNS split into two 16-bit halves to stay
+    exact), and the final word is picked by a second (T, cap, sub)
+    one-hot.  Peak intermediate is (T, cap, max(S, sub)) ~ 66 MB.
+    """
+    t, w = words.shape
+    sub = 16
+    s = -(-w // sub)
+    if w % sub:
+        pad = s * sub - w
+        words = jnp.concatenate(
+            [words, jnp.zeros((t, pad), jnp.int32)], axis=1)
+        cum = jnp.concatenate(
+            [cum, jnp.broadcast_to(cum[:, -1:], (t, pad))], axis=1)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    cum_s = cum.reshape(t, s, sub)[:, :, -1]  # (T, S) super cumsums
+    gt_s = (cum_s[:, None, :] > j[None, :, None]).astype(jnp.float32)
+    sp = s - gt_s.sum(-1).astype(jnp.int32)  # (T, cap) superword of rank j
+    oh_s = gt_s - jnp.concatenate(
+        [jnp.zeros((t, cap, 1), jnp.float32), gt_s[:, :, :-1]], axis=2)
+
+    def sel(vals_f32):  # (T, S, sub) -> (T, cap, sub) rows at sp
+        return jnp.einsum("tjs,tsw->tjw", oh_s, vals_f32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    cum_r = cum.reshape(t, s, sub).astype(jnp.float32)
+    cum_sel = sel(cum_r)  # (T, cap, sub) — exact: counts < 2^24
+    gt_w = (cum_sel > j[None, :, None].astype(jnp.float32)).astype(jnp.int32)
+    pw = sub - gt_w.sum(-1)  # in-super word index
+    oh_w = (gt_w - jnp.concatenate(
+        [jnp.zeros((t, cap, 1), jnp.int32), gt_w[:, :, :-1]], axis=2)
+    ).astype(jnp.float32)
+    wr = words.reshape(t, s, sub)
+    w_lo = sel((wr & 0xFFFF).astype(jnp.float32))
+    w_hi = sel(((wr >> 16) & 0xFFFF).astype(jnp.float32))
+    word_at = ((w_lo * oh_w).sum(-1).astype(jnp.int32)
+               | ((w_hi * oh_w).sum(-1).astype(jnp.int32) << 16))
+    before = ((cum_sel * oh_w).sum(-1).astype(jnp.int32)
+              - jax.lax.population_count(word_at))
+    bit = _nth_set_bit(word_at, j[None, :] - before)
+    p = jnp.minimum(sp * sub + pw, w - 1)
+    return p * 32 + bit
 
 
 def _tile_of_visit(offs, g_counts, budget: int, start):
@@ -481,38 +609,26 @@ def build_visit_groups_table(table, entry, counts, budget: int, g: int,
 VISIT_GROUP = 4  # clusters folded per grid step
 
 
-# Validity slack for the approx-reciprocal tail: the ~2^-14 relative error
-# of the VPU rcp instruction fuzzes (u, v) near triangle edges; q >= -EPS
-# double-ACCEPTS the fringe instead of double-rejecting it (watertight), and
-# winners are re-evaluated exactly outside the kernel.  The packed-t compare
-# already truncates 11 mantissa bits (~1.2e-4 relative), so the rcp error
-# stays below the fold's existing fuzz.
-RCP_EPS = 1e-4
-
-
-def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
-                 tail: str = "div"):
+def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
     # The group-local column rides the 11 low mantissa bits of packed t;
     # sentinel 2047 marks "carried best wins", so g*k must stay below it.
     if g * k > 2047:
         raise ValueError(f"g*k = {g * k} exceeds the 11-bit column budget")
     kshift = (k - 1).bit_length()  # k is a power of two
 
-    def kernel(*refs):
-        vt_ref, vf_ref, ve_ref = refs[0], refs[1], refs[2]
-        vc_refs = refs[3 : 3 + g]
-        rays_ref, init_t_ref, init_slot_ref = (
-            refs[3 + g], refs[4 + g], refs[5 + g]
-        )
-        w_refs = refs[6 + g : 6 + 2 * g]
-        out_t_ref, out_slot_ref = refs[6 + 2 * g], refs[7 + 2 * g]
-
+    def kernel(vt_ref, vf_ref, ve_ref, vcg_ref, rays_ref, init_t_ref,
+               init_slot_ref, *w_out_refs):
+        w_refs = w_out_refs[:g]
+        out_t_ref, out_slot_ref = w_out_refs[g], w_out_refs[g + 1]
         v = pl.program_id(0)
-        is_real = vt_ref[v] < n_real_tiles
+        tile = vt_ref[v]
+        is_real = tile < n_real_tiles
+        # First visit of this tile IN THIS LAUNCH: seed the carried outputs
+        # from the launch seeds (overflow relaunches pass the previous
+        # launch's best).
+        is_first = vf_ref[v] == 1
 
-        # Seed BOTH carried outputs from the launch seeds (overflow
-        # relaunches pass the previous launch's best as seeds).
-        @pl.when((vf_ref[v] == 1) & is_real)
+        @pl.when(is_first & is_real)
         def _():
             out_t_ref[0, 0, :] = init_t_ref[0, 0, :]
             out_slot_ref[0, 0, :] = init_slot_ref[0, 0, :]
@@ -532,17 +648,21 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
             #   on LANES — the tail runs at full lane width for ANY k >= 8
             #   (the row-major layout wasted lanes below k=128: measured
             #   2.8x slower at k=64), which is what makes fine-grained
-            #   k=32 culling affordable;
+            #   culling affordable — yet fine k still LOSES end-to-end
+            #   (k=64: 39-41 ms vs k=128's 29.6 despite 27% fewer pairs;
+            #   a pre-gathered contiguous (g, 8, 6k) stream variant that
+            #   cut the per-step DMA issues to one was slower still at
+            #   34.7 ms from its ~1 GB/frame of gather traffic, so k=128
+            #   with per-cluster indexed fetches stays the optimum);
             # * validity is ONE compare via q = min(u, v, 1-u-v) >= 0,
             # * "closer than carried best" is NOT tested per pair — the
             #   carried best rides the packed lane reduce as a (t | 2047)
             #   sentinel entry, moving that compare from per-pair to
             #   per-ray (this also re-registers equal-t winners after an
             #   overflow relaunch for free),
-            # * t keeps the EXACT divide: a ~2^-17 approximate reciprocal
-            #   was measured to leak 0.2% of hits at shared triangle edges
-            #   (u/v fuzz breaks watertightness; both edge triangles reject
-            #   and the ray falls through to a farther surface),
+            # * the divide is NOT the bottleneck: an approx-VPU-reciprocal
+            #   variant (eps-expanded validity to stay watertight) measured
+            #   29.16 vs 29.39 ms full-search — keep the exact divide,
             # * -1 (padding) sub-visits are predicated off entirely.
             # Pack (t | row) into one sortable i32: for t > 0 the f32
             # bit pattern is order-isomorphic to i32; the 11 low mantissa
@@ -551,24 +671,22 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
                  & jnp.int32(~2047)) | 2047
 
             def fold(kk, m):
+                # precision MUST be explicit: Mosaic's default dot precision
+                # is 1-pass bf16 (~1e-2 relative — leaks edge hits; the axon
+                # service changed the default under us mid-round-3), and
+                # Precision.HIGH is not implemented by the Mosaic lowering,
+                # so HIGHEST (bf16x6, f32-accurate) is the only safe choice.
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (6k, R)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (6k, R)
                 opz = mm[2 * k : 3 * k]
                 dpz = mm[5 * k : 6 * k]
-                if tail == "rcp":
-                    # approx reciprocal + eps-expanded validity (see RCP_EPS):
-                    # r2's plain q >= 0 attempt leaked 0.2% of hits because
-                    # BOTH triangles sharing an edge rejected the fuzzed hit.
-                    tt = -opz * pl.reciprocal(dpz, approx=True)
-                    q_min = -RCP_EPS
-                else:
-                    tt = -opz / dpz
-                    q_min = 0.0
+                tt = -opz / dpz
                 u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
                 vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
                 q = jnp.minimum(jnp.minimum(u, vv), 1.0 - u - vv)
-                ok = (q >= q_min) & (tt > t_min)  # NaN/inf t or bary => false
+                ok = (q >= 0.0) & (tt > t_min)  # NaN/inf t or bary => false
                 row = jax.lax.broadcasted_iota(jnp.int32, (k, tile_r), 0)
                 packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | (
                     row + kk * k)
@@ -577,16 +695,16 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
 
             for kk in range(g):
                 m = jax.lax.cond(
-                    vc_refs[kk][v] >= 0,
+                    vcg_ref[kk, v] >= 0,
                     lambda mm_, kk=kk: fold(kk, mm_),
                     lambda mm_: mm_, m)
             sel = m & 2047
             # Decode the winning cluster id among the g candidates (per-ray
             # selects are ~1/k of the per-pair tail — negligible).
-            c_sel = jnp.full((tile_r,), vc_refs[0][v], jnp.int32)
+            c_sel = jnp.full((tile_r,), vcg_ref[0, v], jnp.int32)
             j = sel >> kshift
             for kk in range(1, g):
-                c_sel = jnp.where(j == kk, vc_refs[kk][v], c_sel)
+                c_sel = jnp.where(j == kk, vcg_ref[kk, v], c_sel)
             changed = sel < 2047
             out_t_ref[0, 0, :] = jax.lax.bitcast_convert_type(
                 m & jnp.int32(~2047), jnp.float32)
@@ -596,27 +714,33 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "tile_r", "budget", "tail"))
+@partial(jax.jit, static_argnames=("k", "tile_r", "budget"))
 def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
-            budget: int, tail: str = "div"):
+            budget: int):
     """One kernel launch over a grouped visit chunk.
 
-    rays8: (T+1, R, 8) incl. dummy tile; init_t/init_slot: (T+1, 1, R).
+    rays8: (T+1, 8, R) incl. dummy tile; init_t/init_slot: (T+1, 1, R).
     Returns updated (best_t, best_slot) of the same shape.
+
+    Cluster ids ride SMEM as ONE (g, budget) array (the minor dim is the
+    budget, so the 128-lane SMEM padding is amortized — g separate arrays
+    hit the 1 MB SMEM cap at large budget x g), and the per-tile "first
+    visit" flag is derived from vt in-kernel instead of a second array.
     """
     g = len(vcs)
     n_slots = rays8.shape[0]
+    vcg = jnp.stack(vcs, axis=0)  # (g, budget)
 
-    def tile_map(v, vt, vf, ve, *vcs):
+    def tile_map(v, vt, vf, ve, vcg):
         return (vt[v], 0, 0)
 
     def cluster_map(kk):
-        def f(v, vt, vf, ve, *vcs):
-            return (jnp.maximum(vcs[kk][v], 0), 0, 0)  # -1 pad -> block 0
+        def f(v, vt, vf, ve, vcg):
+            return (jnp.maximum(vcg[kk, v], 0), 0, 0)  # -1 pad -> block 0
         return f
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 + g,  # tile / first / entry / g cluster ids
+        num_scalar_prefetch=4,  # tile / first / entry / (g, budget) ids
         grid=(budget,),
         in_specs=[
             pl.BlockSpec((1, 8, tile_r), tile_map, memory_space=pltpu.VMEM),
@@ -633,14 +757,14 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
         ],
     )
     out_t, out_slot = pl.pallas_call(
-        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g, tail),
+        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g),
         out_shape=[
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.float32),
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(vt, vf, ve, *vcs, rays8, init_t, init_slot, *([w] * g))
+    )(vt, vf, ve, vcg, rays8, init_t, init_slot, *([w] * g))
     # Tiles with zero visits never ran: keep their seeds.
     touched_t = jnp.zeros((n_slots,), bool).at[vt].set(True, mode="drop")
     out_t = jnp.where(touched_t[:, None, None], out_t, init_t)
@@ -661,18 +785,17 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
     """
 
     def kernel(*refs):
-        vt_ref, vf_ref, ve_ref = refs[0], refs[1], refs[2]
-        vc_refs = refs[3 : 3 + g]
-        rays_ref, tmax_ref, init_b_ref = (
-            refs[3 + g], refs[4 + g], refs[5 + g]
-        )
-        w_refs = refs[6 + g : 6 + 2 * g]
-        out_b_ref = refs[6 + 2 * g]
+        vt_ref, vf_ref, ve_ref, vcg_ref = refs[0], refs[1], refs[2], refs[3]
+        rays_ref, tmax_ref, init_b_ref = refs[4], refs[5], refs[6]
+        w_refs = refs[7 : 7 + g]
+        out_b_ref = refs[7 + g]
 
         v = pl.program_id(0)
-        is_real = vt_ref[v] < n_real_tiles
+        tile = vt_ref[v]
+        is_real = tile < n_real_tiles
+        is_first = vf_ref[v] == 1
 
-        @pl.when((vf_ref[v] == 1) & is_real)
+        @pl.when(is_first & is_real)
         def _():
             out_b_ref[0, 0, :] = init_b_ref[0, 0, :]
 
@@ -687,9 +810,11 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
             tmax2 = tmax_ref[0]  # (1, R)
 
             def fold(kk, acc):
+                # explicit HIGHEST: see _make_kernel's fold
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (6k, R)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (6k, R)
                 opz = mm[2 * k : 3 * k]
                 dpz = mm[5 * k : 6 * k]
                 tt = -opz / dpz
@@ -701,7 +826,7 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
 
             for kk in range(g):
                 acc = jax.lax.cond(
-                    vc_refs[kk][v] >= 0,
+                    vcg_ref[kk, v] >= 0,
                     lambda a, kk=kk: fold(kk, a),
                     lambda a: a, acc)
             out_b_ref[0] = acc
@@ -715,17 +840,18 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
     """One any-hit launch; returns the updated blocked flags (T+1, 1, R) i32."""
     g = len(vcs)
     n_slots = rays8.shape[0]
+    vcg = jnp.stack(vcs, axis=0)  # (g, budget) — see _launch
 
-    def tile_map(v, vt, vf, ve, *vcs):
+    def tile_map(v, vt, vf, ve, vcg):
         return (vt[v], 0, 0)
 
     def cluster_map(kk):
-        def f(v, vt, vf, ve, *vcs):
-            return (jnp.maximum(vcs[kk][v], 0), 0, 0)  # -1 pad -> block 0
+        def f(v, vt, vf, ve, vcg):
+            return (jnp.maximum(vcg[kk, v], 0), 0, 0)  # -1 pad -> block 0
         return f
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 + g,
+        num_scalar_prefetch=4,
         grid=(budget,),
         in_specs=[
             pl.BlockSpec((1, 8, tile_r), tile_map, memory_space=pltpu.VMEM),
@@ -745,7 +871,7 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
         out_shape=[jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32)],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(vt, vf, ve, *vcs, rays8, tmax, init_b, *([w] * g))
+    )(vt, vf, ve, vcg, rays8, tmax, init_b, *([w] * g))
     touched = jnp.zeros((n_slots,), bool).at[vt].set(True, mode="drop")
     return jnp.where(touched[:, None, None], out_b, init_b)
 
@@ -770,13 +896,21 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
 
     ot = origins.reshape(tiles, tile_r, 3)
     dt = dirs.reshape(tiles, tile_r, 3)
-    # Sort-free bit-walk binning (see bin_clusters_bits) — one path for
-    # all scene sizes.
+    # Same two-phase scheduling as _search: rank-table fast path for ranks
+    # [0, cap), v1 word-search overflow for the rare fat tiles.
     words, cum, entry, counts = bin_clusters_bits(ot, dt, cs, bounds=bounds)
+    cap = min(RANK_CAP, words.shape[1] * 32)
+    counts_lo = jnp.minimum(counts, cap)
+    counts_hi = counts - counts_lo
+    table = rank_table_bits(words, cum, cap)
 
-    def make_groups(start):
-        return build_visit_groups_bits(words, cum, entry, counts, budget, g,
-                                       start=start)
+    def make_lo(start):
+        return build_visit_groups_table(table, entry, counts_lo, budget, g,
+                                        start=start)
+
+    def make_hi(start):
+        return build_visit_groups_bits(words, cum, entry, counts_hi, budget,
+                                       g, start=start, rank_offset=counts_lo)
 
     rays8 = jnp.concatenate(
         [origins, jnp.ones((m, 1), jnp.float32), dirs,
@@ -791,27 +925,35 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
     )
     blocked = jnp.zeros((tiles + 1, 1, tile_r), jnp.int32)
 
-    vt, vcs, vf, ve, _ = make_groups(0)
+    vt, vcs, vf, ve, _ = make_lo(0)
     blocked = _launch_anyhit(rays8, tmax3, blocked, vt, vcs, vf, ve, wplanar,
                              cs.k, tile_r, budget)
 
-    total = jnp.sum((counts + g - 1) // g)
+    total_lo = jnp.sum((counts_lo + g - 1) // g)
+    total_hi = jnp.sum((counts_hi + g - 1) // g)
 
-    def cond(state):
-        start, b = state
-        # Stop early once every armed ray is blocked — the usual case for
-        # shadow batches in occluded scenes.
-        armed = (tmax3[:tiles] > T_MIN) & (b[:tiles] == 0)
-        return (start < total) & jnp.any(armed)
+    def cond_of(total):
+        def cond(state):
+            start, b = state
+            # Stop early once every armed ray is blocked — the usual case
+            # for shadow batches in occluded scenes.
+            armed = (tmax3[:tiles] > T_MIN) & (b[:tiles] == 0)
+            return (start < total) & jnp.any(armed)
+        return cond
 
-    def body(state):
-        start, b = state
-        vt2, vcs2, vf2, ve2, _ = make_groups(start)
-        b2 = _launch_anyhit(rays8, tmax3, b, vt2, vcs2, vf2, ve2, wplanar,
-                            cs.k, tile_r, budget)
-        return start + budget, b2
+    def body_of(make_groups):
+        def body(state):
+            start, b = state
+            vt2, vcs2, vf2, ve2, _ = make_groups(start)
+            b2 = _launch_anyhit(rays8, tmax3, b, vt2, vcs2, vf2, ve2, wplanar,
+                                cs.k, tile_r, budget)
+            return start + budget, b2
+        return body
 
-    _, blocked = jax.lax.while_loop(cond, body, (jnp.int32(budget), blocked))
+    _, blocked = jax.lax.while_loop(cond_of(total_lo), body_of(make_lo),
+                                    (jnp.int32(budget), blocked))
+    _, blocked = jax.lax.while_loop(cond_of(total_hi), body_of(make_hi),
+                                    (jnp.int32(0), blocked))
     return (blocked[:tiles].reshape(-1) == 1)[:n]
 
 
@@ -840,10 +982,10 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
 RANK_CAP = 128  # rank-table width: covers p99 tiles; the rest overflow
 
 
-@partial(jax.jit, static_argnames=("tile_r", "budget", "g", "tail", "cap"))
+@partial(jax.jit, static_argnames=("tile_r", "budget", "g", "cap"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
             budget: int, bounds=None, g: int | None = None,
-            tail: str = "div", cap: int = RANK_CAP):
+            cap: int = RANK_CAP):
     """(best_t, best_slot) over all rays (padded to whole tiles inside).
 
     ``g`` (clusters folded per grid step) defaults to 512 // k so a step
@@ -920,7 +1062,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
 
     vt, vcs, vf, ve, _ = make_lo(0)
     best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
-                                wplanar, cs.k, tile_r, budget, tail)
+                                wplanar, cs.k, tile_r, budget)
 
     # Overflow launches walk each phase's group list in budget-sized
     # windows [start, start+budget) — strictly new work each launch, so
@@ -935,7 +1077,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
             start, bt, bs = state
             vt2, vcs2, vf2, ve2, _ = make_groups(start)
             bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar,
-                               cs.k, tile_r, budget, tail)
+                               cs.k, tile_r, budget)
             return start + budget, bt2, bs2
         return f
 

@@ -188,3 +188,59 @@ def test_small_cap_forces_hi_phase(scene_geo, rays):
                          128, cap=4)
     np.testing.assert_array_equal(np.asarray(bs_a), np.asarray(bs_b))
     np.testing.assert_array_equal(np.asarray(bt_a), np.asarray(bt_b))
+
+
+def test_hier_rank_table_matches_flat():
+    """The two-level (wide-C) rank table must equal the flat build and the
+    plain bit walk on synthetic word rows."""
+    import numpy as np
+
+    from directx_raytracer_tpu.bvh.pallas_intersect import (
+        _rank_table_bits_hier, rank_table_bits)
+
+    rng = np.random.default_rng(7)
+    t, w = 13, 96  # forces the hier path (w > 64)
+    words = rng.integers(0, 2**32, size=(t, w), dtype=np.uint32)
+    words[rng.random((t, w)) < 0.5] = 0  # sprinkle empty words
+    wn = jnp.asarray(words.view("int32"))
+    cnt = np.zeros((t, w), np.int32)
+    for ti in range(t):
+        for wi in range(w):
+            cnt[ti, wi] = bin(int(words[ti, wi])).count("1")
+    cum = jnp.asarray(np.cumsum(cnt, axis=1).astype(np.int32))
+    cap = 64
+    got = np.asarray(_rank_table_bits_hier(wn, cum, cap))
+    assert got.shape == (t, cap)
+    for ti in range(t):
+        bits = [wi * 32 + b for wi in range(w) for b in range(32)
+                if (int(words[ti, wi]) >> b) & 1]
+        for j in range(min(len(bits), cap)):
+            assert got[ti, j] == bits[j], (ti, j, got[ti, j], bits[j])
+
+
+def test_superblock_binning_matches_dense(scene_geo, rays, monkeypatch):
+    """The superblock-skipped binning kernel (large-C path) must produce
+    the same overlap words and entries as the dense kernel."""
+    from directx_raytracer_tpu.bvh import pallas_intersect as pi
+
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    tiles = o.shape[0] // TILE_R
+    ot = o.reshape(tiles, TILE_R, 3)
+    dt = dd.reshape(tiles, TILE_R, 3)
+    ref = pi.bin_clusters_bits(ot, dt, bvh.clusters)
+    monkeypatch.setattr(pi, "SUPER_MIN_C", 1)
+    monkeypatch.setattr(pi, "SUPER_BLOCK", 32)
+    got = pi.bin_clusters_bits(ot, dt, bvh.clusters)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(got[3]))
+    # entries agree on overlapping clusters
+    wn = np.asarray(ref[0])
+    for t in range(tiles):
+        for w in range(wn.shape[1]):
+            for b in range(32):
+                if (wn[t, w] >> b) & 1:
+                    cl = w * 32 + b
+                    np.testing.assert_allclose(
+                        np.asarray(ref[2])[t, cl], np.asarray(got[2])[t, cl],
+                        rtol=1e-6)
