@@ -16,12 +16,13 @@ each visit entirely in VMEM and runs one grid step per *actual* work item:
   needs more than V visits the helper loops whole extra kernel launches
   (``jax.lax.while_loop``) over V-sized chunks, seeding each launch with
   the previous best — never silently dropping clusters.
-* **kernel (one grid step per visit):** rays enter as a (768, 8) block
-  ``[o | 1 | d | 0]`` selected by ``visit_tile``; the cluster's planar Woop
-  operand W (8, 6K) is selected by ``visit_cluster`` — both via
-  scalar-prefetched index maps, so Pallas pipelines the HBM->VMEM copies
-  (dynamic *manual* DMA hangs this TPU stack; index-map DMA is the
-  supported path).  One MXU matmul ``rays8 @ W -> (768, 6K)`` produces
+* **kernel (one grid step per visit):** rays enter as a (48, R) bf16
+  hi/mid/lo split block built from ``[o | 1 | d | 0]`` rows (rays_split),
+  selected by ``visit_tile``; the cluster's split planar Woop operand
+  W (48, 6K) bf16 (planar_split) is selected by ``visit_cluster`` — both
+  via scalar-prefetched index maps, so Pallas pipelines the HBM->VMEM
+  copies (dynamic *manual* DMA hangs this TPU stack; index-map DMA is the
+  supported path).  One native-precision MXU matmul per group produces
   planar [op_x op_y op_z dp_x dp_y dp_z]; a short VPU tail computes
   t = -op_z/dp_z, barycentrics, validity, and folds the running
   (best_t, best_slot) held in the output VMEM block, which consecutive
@@ -52,6 +53,11 @@ from .clustered import ClusterSet
 
 INF = float("inf")
 BIG = 1e30
+# XLA-side dots (the rank-table one-hot selections) carry exact integer
+# values < 2^24 in f32 and MUST run at fp32 precision — the TPU default
+# rounds operands to bf16.  (The Pallas kernels avoid the issue by taking
+# pre-split bf16 hi/lo operands instead; see planar_split.)
+_DOT_PRECISION = jax.lax.Precision.HIGHEST
 TILE_R = 256  # rays per tile (16x16 pixels — matches ops.rays.pick_tile)
 # Visit GROUPS (of VISIT_GROUP clusters) per launch.  The grid is always
 # exactly this size (padding steps cost ~0.9 us machinery each), so the
@@ -77,10 +83,11 @@ def _interpret() -> bool:
 
 
 def planar_mats(cs: ClusterSet) -> jax.Array:
-    """(C, 8, 6K) combined matmul operand.
+    """(C, 48, 6K) bf16 split combined matmul operand.
 
-    ``[o,1,d,0] @ W[c]`` produces planar columns
-    [op_x | op_y | op_z | dp_x | dp_y | dp_z], each K wide.
+    ``rays32 @ W[c]`` (see :func:`planar_split` / :func:`rays_split`)
+    produces planar columns [op_x | op_y | op_z | dp_x | dp_y | dp_z],
+    each K wide.
     """
     c, k = cs.woop.shape[0], cs.k
     woop = cs.woop  # (C, K, 3, 4)
@@ -92,7 +99,61 @@ def planar_mats(cs: ClusterSet) -> jax.Array:
         w = w.at[:, 4:7, (3 + axis) * k : (4 + axis) * k].set(
             jnp.swapaxes(woop[:, :, axis, :3], 1, 2)
         )
-    return w
+    return planar_split(w)
+
+
+SPLIT_ROWS = 48  # contraction depth of the bf16x3 split operands (6 x 8)
+
+
+def _split3(x):
+    """f32 -> (hi, mid, lo) bf16 triple with hi + mid + lo == x exactly.
+
+    BIT-twiddled (an f32's top 16 bits ARE a bf16 pattern; each residual
+    subtraction is then exact), NOT ``x - f32(bf16(x))`` arithmetic: XLA's
+    algebraic simplifier cancels the arithmetic form inside jit (measured
+    p50 error collapsing from 4e-8 to 2e-3 — plain-bf16 grade) and bit ops
+    are opaque to it.  f32's 24 significand bits land 8+8+8 in the three
+    parts, so the sum is exact (lo may underflow only near FLT_MIN)."""
+    def top16(v):
+        b = jax.lax.bitcast_convert_type(v, jnp.uint32) & jnp.uint32(0xFFFF0000)
+        return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+    def as_bf16(v):
+        b = (jax.lax.bitcast_convert_type(v, jnp.uint32) >> 16).astype(jnp.uint16)
+        return jax.lax.bitcast_convert_type(b, jnp.bfloat16)
+
+    hi = top16(x)
+    r1 = x - hi
+    mid = top16(r1)
+    lo = r1 - mid  # == top16 of itself: 24 bits fit in 3 x 8
+    return as_bf16(hi), as_bf16(mid), as_bf16(lo)
+
+
+def planar_split(w: jax.Array) -> jax.Array:
+    """(C, 8, 6K) f32 -> (C, 48, 6K) bf16 split operand (bf16x3 scheme).
+
+    The kernel's dot runs at the MXU's native 1-pass bf16 precision: the
+    remote Mosaic's fp32 contract precision measured ~2x on the frame, and
+    its DEFAULT became plain bf16 (~1e-2 relative — loses edge hits; a
+    2-way bf16 split still flipped sliver-edge winners on the Dragon
+    golden at 2.3% of pixels).  Each f32 operand splits into three bf16
+    parts (hi + mid + lo ~ exact) and the six significant cross products
+    ride ONE K=48 contraction:
+      W48   = [W_hi; W_mid; W_lo; W_hi; W_mid; W_hi]
+      r48   = [r_hi; r_hi;  r_hi; r_mid; r_mid; r_lo]
+      sum   = W_hi(r_hi+r_mid+r_lo) + W_mid(r_hi+r_mid) + W_lo r_hi
+            = W r  -  O(2^-24) residual terms.
+    Contraction depths 8 and 48 cost the same through the 128-deep
+    systolic array, so full f32-grade accuracy is a single MXU pass."""
+    hi, mid, lo = _split3(w)
+    return jnp.concatenate([hi, mid, lo, hi, mid, hi], axis=1)
+
+
+def rays_split(rays8: jax.Array) -> jax.Array:
+    """(T, 8, R) f32 ray blocks -> (T, 48, R) bf16 — the rays-side operand
+    matching :func:`planar_split`'s row order."""
+    hi, mid, lo = _split3(rays8)
+    return jnp.concatenate([hi, hi, hi, mid, mid, lo], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +516,7 @@ def _rank_table_bits_hier(words, cum, cap: int):
 
     def sel(vals_f32):  # (T, S, sub) -> (T, cap, sub) rows at sp
         return jnp.einsum("tjs,tsw->tjw", oh_s, vals_f32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=_DOT_PRECISION)
 
     cum_r = cum.reshape(t, s, sub).astype(jnp.float32)
     cum_sel = sel(cum_r)  # (T, cap, sub) — exact: counts < 2^24
@@ -638,7 +699,7 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
         # remaining groups cannot improve anything.
         @pl.when(is_real & (ve_ref[v] <= jnp.max(out_t_ref[0, 0, :])))
         def _():
-            rays = rays_ref[0]  # (8, R) — rays on LANES
+            rays = rays_ref[0]  # (48, R) bf16 — rays on LANES
             best_t = out_t_ref[0, 0, :]
             best_slot = out_slot_ref[0, 0, :]
             # The per-pair VPU tail is the frame's dominant cost, so every
@@ -671,15 +732,15 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
                  & jnp.int32(~2047)) | 2047
 
             def fold(kk, m):
-                # precision MUST be explicit: Mosaic's default dot precision
-                # is 1-pass bf16 (~1e-2 relative — leaks edge hits; the axon
-                # service changed the default under us mid-round-3), and
-                # Precision.HIGH is not implemented by the Mosaic lowering,
-                # so HIGHEST (bf16x6, f32-accurate) is the only safe choice.
+                # Operands are PRE-SPLIT bf16 hi/lo stacks (planar_split /
+                # rays_split): one native-precision K=32 pass reconstructs
+                # ~16-bit-mantissa f32 products.  Do NOT pass f32 operands
+                # here — Mosaic's default dot precision is 1-pass bf16
+                # (~1e-2 relative, leaks edge hits) and fp32 contract
+                # precision (HIGHEST) measured ~2x on the frame.
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (6k, R)
+                    preferred_element_type=jnp.float32)  # (6k, R)
                 opz = mm[2 * k : 3 * k]
                 dpz = mm[5 * k : 6 * k]
                 tt = -opz / dpz
@@ -719,7 +780,7 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
             budget: int):
     """One kernel launch over a grouped visit chunk.
 
-    rays8: (T+1, 8, R) incl. dummy tile; init_t/init_slot: (T+1, 1, R).
+    rays8: (T+1, 48, R) bf16 split stack incl. dummy tile; init_t/init_slot: (T+1, 1, R).
     Returns updated (best_t, best_slot) of the same shape.
 
     Cluster ids ride SMEM as ONE (g, budget) array (the minor dim is the
@@ -743,11 +804,12 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
         num_scalar_prefetch=4,  # tile / first / entry / (g, budget) ids
         grid=(budget,),
         in_specs=[
-            pl.BlockSpec((1, 8, tile_r), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SPLIT_ROWS, tile_r), tile_map,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, 8, 6 * k), cluster_map(kk),
+            pl.BlockSpec((1, SPLIT_ROWS, 6 * k), cluster_map(kk),
                          memory_space=pltpu.VMEM)
             for kk in range(g)
         ],
@@ -805,16 +867,15 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
 
         @pl.when(is_real & (ve_ref[v] <= gate))
         def _():
-            rays = rays_ref[0]  # (8, R) — transposed layout, see _make_kernel
+            rays = rays_ref[0]  # (48, R) bf16 — transposed, see _make_kernel
             acc = out_b_ref[0]  # (1, R) — rank-2 through the cond carries
             tmax2 = tmax_ref[0]  # (1, R)
 
             def fold(kk, acc):
-                # explicit HIGHEST: see _make_kernel's fold
+                # pre-split bf16 operands: see _make_kernel's fold
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # (6k, R)
+                    preferred_element_type=jnp.float32)  # (6k, R)
                 opz = mm[2 * k : 3 * k]
                 dpz = mm[5 * k : 6 * k]
                 tt = -opz / dpz
@@ -854,11 +915,12 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
         num_scalar_prefetch=4,
         grid=(budget,),
         in_specs=[
-            pl.BlockSpec((1, 8, tile_r), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SPLIT_ROWS, tile_r), tile_map,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, 8, 6 * k), cluster_map(kk),
+            pl.BlockSpec((1, SPLIT_ROWS, 6 * k), cluster_map(kk),
                          memory_space=pltpu.VMEM)
             for kk in range(g)
         ],
@@ -919,6 +981,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
     rays8 = jnp.concatenate(
         [rays8, jnp.zeros((1, 8, tile_r), jnp.float32)], axis=0
     )
+    rays8 = rays_split(rays8)  # (T+1, 48, R) bf16 hi/mid/lo stack
     tmax3 = jnp.concatenate(
         [t_max.reshape(tiles, 1, tile_r),
          jnp.zeros((1, 1, tile_r), jnp.float32)]
@@ -1055,6 +1118,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     rays8 = jnp.concatenate(  # dummy tile slot for padding visits
         [rays8, jnp.zeros((1, 8, tile_r), jnp.float32)], axis=0
     )
+    rays8 = rays_split(rays8)  # (T+1, 48, R) bf16 hi/mid/lo stack
     best_t = jnp.concatenate(
         [t_init.reshape(tiles, 1, tile_r), jnp.zeros((1, 1, tile_r), jnp.float32)]
     )
