@@ -162,14 +162,16 @@ def main():
     n_frames = 20
 
     @jax.jit
-    def run(pos_in):
+    def run(ds, pos_in):
         # Frame loop INSIDE one jit: a remote-device tunnel adds 100s of ms
         # of per-dispatch latency, so per-call host timing measures the
         # tunnel, not the chip.  Each frame perturbs the camera with a
         # data-dependent epsilon so no frame can be elided or overlapped.
+        # The scene rides as a jit ARGUMENT — a closure would bake wplanar
+        # into the HLO as a literal (remote compile rejects ~200 MB bodies).
         def body(i, carry):
             p, acc = carry
-            img = render_debug(dscene, p, rot, mode, WIDTH, HEIGHT,
+            img = render_debug(ds, p, rot, mode, WIDTH, HEIGHT,
                                intersect_fn=intersect_fn,
                                fetch_record=False)  # mode 5: distance only
             v = img[0, 0, 0]
@@ -190,14 +192,14 @@ def main():
 
     p = jnp.asarray(pos, jnp.float32)
     _stage("compiling frame loop")
-    float(run(p))  # compile + warm
+    float(run(dscene, p))  # compile + warm
     _stage("timing")
     float(empty(p))
     t0 = time.perf_counter()
     float(empty(p))
     overhead = time.perf_counter() - t0  # whole-dispatch fixed cost
     t0 = time.perf_counter()
-    float(run(p))
+    float(run(dscene, p))
     dt = (time.perf_counter() - t0 - overhead) / n_frames
 
     # Honesty instrumentation: scheduled pairs/ray from the production

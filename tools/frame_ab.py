@@ -54,6 +54,9 @@ def main():
             ntris = int(a)
     if variant == "median":
         scene_mod._np_treelet_leaves = median_leaves
+    if "dense" in sys.argv[1:]:
+        from directx_raytracer_tpu.bvh import pallas_intersect as pi
+        pi.SUPER_MIN_C = 1 << 30  # force the dense binning kernel
 
     from directx_raytracer_tpu.bvh import build_bvh, make_bvh_intersect_fn
 
@@ -68,7 +71,9 @@ def main():
     n = 10
 
     @jax.jit
-    def run(p):
+    def run(d, p):
+        # the scene rides as a jit ARGUMENT: closing over it would bake
+        # wplanar into the HLO as a literal (HTTP 413 past ~200 MB at 1M)
         def body(i, carry):
             p, acc = carry
             img = render_debug(d, p, rot, mode, WIDTH, HEIGHT,
@@ -86,15 +91,30 @@ def main():
         _, acc = jax.lax.fori_loop(0, n, body, (p, jnp.float32(0)))
         return acc
 
+    import sys as _sys
+    print("compiling...", file=_sys.stderr, flush=True)
     p = jnp.asarray(pos, jnp.float32)
-    float(run(p)); float(empty(p))
+    float(run(d, p))
+    print("compiled", file=_sys.stderr, flush=True)
+    float(empty(p))
     t0 = time.perf_counter(); float(empty(p))
     ovh = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(run(p))
+    t0 = time.perf_counter(); float(run(d, p))
     dt = (time.perf_counter() - t0 - ovh) / n
     mrays = WIDTH * HEIGHT / dt / 1e6
-    print(f"{variant} ntris={ntris} C={n_clusters}: {dt*1e3:.2f} ms/frame "
-          f"= {mrays:.1f} Mrays/s", flush=True)
+    from directx_raytracer_tpu.bvh import _auto_tile_r
+    from directx_raytracer_tpu.bvh.pallas_intersect import bin_clusters_bits
+    from directx_raytracer_tpu.ops.rays import generate_rays_tiled
+    tr = _auto_tile_r(bvh)
+    o, dd = generate_rays_tiled(p, jnp.asarray(rot, jnp.float32),
+                                WIDTH, HEIGHT, 8, 32)
+    tiles = o.shape[0] // tr
+    *_, counts = jax.jit(bin_clusters_bits, static_argnames=())(
+        o.reshape(tiles, tr, 3), dd.reshape(tiles, tr, 3), bvh.clusters)
+    ppr = float(np.asarray(counts).mean()) * bvh.clusters.k
+    print(f"{variant} ntris={ntris} C={n_clusters} tile_r={tr}: "
+          f"{dt*1e3:.2f} ms/frame = {mrays:.1f} Mrays/s "
+          f"pairs/ray={ppr:.0f}", flush=True)
 
 
 if __name__ == "__main__":

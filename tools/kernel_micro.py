@@ -21,7 +21,7 @@ from directx_raytracer_tpu import testscenes
 from directx_raytracer_tpu.bvh.clustered import build_clusters
 from directx_raytracer_tpu.bvh.pallas_intersect import (
     TILE_R, VISIT_GROUP, bin_clusters_bits, build_visit_groups_bits,
-    planar_mats, _launch,
+    planar_mats, rays_split, _launch,
 )
 from directx_raytracer_tpu.models.scene import build_device_scene
 from directx_raytracer_tpu.ops.rays import generate_rays_tiled, tile_frustum_bounds
@@ -60,8 +60,8 @@ def main():
 
     cs = build_clusters(geo, k=128)
     w = planar_mats(cs)
-    o, d = generate_rays_tiled(pos, rot, WIDTH, HEIGHT, 24, 32)
-    bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, 24, 32)
+    o, d = generate_rays_tiled(pos, rot, WIDTH, HEIGHT, 8, 32)
+    bounds = tile_frustum_bounds(pos, rot, WIDTH, HEIGHT, 8, 32)
     n = o.shape[0]
     tiles = n // TILE_R
     g = VISIT_GROUP
@@ -78,8 +78,9 @@ def main():
 
     rays8 = jnp.concatenate(
         [o, jnp.ones((n, 1), jnp.float32), d, jnp.zeros((n, 1), jnp.float32)],
-        axis=1).reshape(tiles, TILE_R, 8)
-    rays8 = jnp.concatenate([rays8, jnp.zeros((1, TILE_R, 8), jnp.float32)])
+        axis=1).reshape(tiles, TILE_R, 8).swapaxes(1, 2)  # (T, 8, R)
+    rays8 = jnp.concatenate([rays8, jnp.zeros((1, 8, TILE_R), jnp.float32)])
+    rays8 = jax.jit(rays_split)(rays8)  # (T+1, 48, R) bf16
     init_t = jnp.concatenate([
         jnp.full((tiles, 1, TILE_R), 10000.0, jnp.float32),
         jnp.zeros((1, 1, TILE_R), jnp.float32)])

@@ -41,7 +41,8 @@ def main():
     n = args.frames
 
     @jax.jit
-    def run(p):
+    def run(d, p):
+        # scene as jit ARG — closure bakes wplanar into the HLO (413 at 1M)
         def body(i, carry):
             pp, acc = carry
             img, stats = render_whitted(
@@ -60,13 +61,13 @@ def main():
         _, acc = jax.lax.fori_loop(0, n, body, (p, jnp.float32(0)))
         return acc
 
-    float(run(pos))
+    float(run(d, pos))
     float(empty(pos))
     t0 = time.perf_counter()
     float(empty(pos))
     overhead = time.perf_counter() - t0  # fixed dispatch cost (tunnel)
     t0 = time.perf_counter()
-    float(run(pos))
+    float(run(d, pos))
     dt = (time.perf_counter() - t0 - overhead) / n
     rays = args.width * args.height * args.spp
     print(f"whitted {args.width}x{args.height} depth={args.depth} "
