@@ -209,18 +209,16 @@ def main():
     try:
         from directx_raytracer_tpu.bvh.pallas_intersect import (
             TILE_R, bin_clusters_bits)
-        from directx_raytracer_tpu.ops.rays import (
-            generate_rays_tiled, tile_frustum_bounds)
+        from directx_raytracer_tpu.ops.rays import generate_rays_tiled
 
         o, dd = generate_rays_tiled(p, jnp.asarray(rot, jnp.float32),
                                     WIDTH, HEIGHT, 8, 32)
-        bounds = tile_frustum_bounds(p, jnp.asarray(rot, jnp.float32),
-                                     WIDTH, HEIGHT, 8, 32)
         tiles = o.shape[0] // TILE_R
         cs = bvh.clusters
+        # bounds=None: the production path uses the binner's empirical hull
+        # (the analytic corner frustum binned +44% pairs — tools/tile_ab.py)
         *_, counts = jax.jit(bin_clusters_bits)(
-            o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), cs,
-            bounds=bounds)
+            o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), cs)
         pairs_per_ray = float(np.asarray(counts).mean()) * cs.k
         flops_per_frame = pairs_per_ray * WIDTH * HEIGHT * 96.0
         mfu = flops_per_frame / dt / MXU_PEAK_FLOPS

@@ -51,13 +51,17 @@ def build_bvh(geometry, k: int = 128) -> BVH:
 
 
 def _auto_tile_r(bvh: BVH) -> int:
-    """Ray-chunk size by scene scale: per-chunk binning work scales with
-    (chunks x clusters), so HUGE scenes trade per-chunk frustum tightness
-    for 3x fewer chunks (rays are tile-major, so a 768-ray chunk is just
-    three adjacent 8x32 pixel tiles — still coherent)."""
+    """Ray-chunk size: one 8x32 pixel tile per chunk at EVERY scene scale.
+
+    The 768-ray chunk this used to pick for >=4096-cluster scenes traded
+    frustum tightness for fewer chunks — remeasured with the fused binning
+    kernel + rank-table scheduler that trade inverts: at 1M tris the wider
+    frustum binned 2.3x the pairs/ray (1876 vs 804, tools/cull_stats.py)
+    and the full search ran 70.3 vs 62.9 ms (tools/tile_ab.py), so tight
+    256-ray tiles win at every scale measured."""
     from .pallas_intersect import TILE_R
 
-    return 768 if bvh.clusters.aabb_min.shape[0] >= 4096 else TILE_R
+    return TILE_R
 
 
 def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536,

@@ -50,8 +50,10 @@ def timed(fn, n=5, label=""):
 
 
 def main():
+    import sys
+    ntris = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     print(f"devices: {jax.devices()}", flush=True)
-    scene = testscenes.bench_scene(n_tris=100_000, width=WIDTH, height=HEIGHT)
+    scene = testscenes.bench_scene(n_tris=ntris, width=WIDTH, height=HEIGHT)
     dscene = build_device_scene(scene)
     pos, rot = scene.camera.snapshot()
     pos = jnp.asarray(pos, jnp.float32)
@@ -66,9 +68,9 @@ def main():
     tiles = n // TILE_R
     g = VISIT_GROUP
 
+    # empirical hull (production since r3: the analytic frustum binned +44%)
     words, cum, entry, counts = jax.jit(bin_clusters_bits)(
-        o.reshape(tiles, TILE_R, 3), d.reshape(tiles, TILE_R, 3), cs,
-        bounds=bounds)
+        o.reshape(tiles, TILE_R, 3), d.reshape(tiles, TILE_R, 3), cs)
     vt, vcs, vf, ve, rem = jax.jit(build_visit_groups_bits, static_argnames=(
         "budget", "g"))(words, cum, entry, counts, BUDGET, g)
     vt, vf, ve = map(jnp.asarray, (vt, vf, ve))

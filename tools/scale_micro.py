@@ -30,20 +30,34 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def timed(fn, ds, args, n=5):
+def timed(fn, ds, args, n=20):
+    # Chain a data-dependent epsilon into the first ray argument so no
+    # iteration can be elided, and subtract the empty-dispatch round trip
+    # (~40 ms through the axon tunnel — at n=5 that biased +8 ms/frame).
     @jax.jit
-    def loop(ds, *a):
-        def body(i, acc):
-            out = fn(ds, *a)
+    def loop(ds, a0, *rest):
+        def body(i, carry):
+            a0c, acc = carry
+            out = fn(ds, a0c, *rest)
             leaf = jax.tree_util.tree_leaves(out)[0]
             v = leaf.reshape(-1)[0].astype(jnp.float32)
-            return acc + jnp.where(jnp.isfinite(v), v, 0.0)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            v = jnp.where(jnp.isfinite(v), v, 0.0)
+            return a0c + v * 1e-12, acc + v
+        _, acc = jax.lax.fori_loop(0, n, body, (a0, jnp.float32(0)))
+        return acc
+
+    @jax.jit
+    def empty(ds, a0, *rest):
+        return jax.tree_util.tree_leaves(a0)[0].reshape(-1)[0]
 
     x = loop(ds, *args); jax.block_until_ready(x); float(x)
+    float(empty(ds, *args))
+    t0 = time.perf_counter()
+    float(empty(ds, *args))
+    ovh = time.perf_counter() - t0
     t0 = time.perf_counter()
     float(loop(ds, *args))
-    return (time.perf_counter() - t0) / n
+    return (time.perf_counter() - t0 - ovh) / n
 
 
 def main():
