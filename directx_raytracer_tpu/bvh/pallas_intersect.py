@@ -19,7 +19,7 @@ each visit entirely in VMEM and runs one grid step per *actual* work item:
 * **kernel (one grid step per visit):** rays enter as a (48, R) bf16
   hi/mid/lo split block built from ``[o | 1 | d | 0]`` rows (rays_split),
   selected by ``visit_tile``; the cluster's split planar Woop operand
-  W (48, 6K) bf16 (planar_split) is selected by ``visit_cluster`` — both
+  W (48, 8K) bf16 (planar_split) is selected by ``visit_cluster`` — both
   via scalar-prefetched index maps, so Pallas pipelines the HBM->VMEM
   copies (dynamic *manual* DMA hangs this TPU stack; index-map DMA is the
   supported path).  One native-precision MXU matmul per group produces
@@ -83,22 +83,36 @@ def _interpret() -> bool:
 
 
 def planar_mats(cs: ClusterSet) -> jax.Array:
-    """(C, 48, 6K) bf16 split combined matmul operand.
+    """(C, 48, 8K) bf16 split combined matmul operand.
 
     ``rays32 @ W[c]`` (see :func:`planar_split` / :func:`rays_split`)
-    produces planar columns [op_x | op_y | op_z | dp_x | dp_y | dp_z],
-    each K wide.
+    produces planar columns [u_o | v_o | -z_o | w_o | du | dv | dz | wd],
+    each K wide.  Two tail-golf tricks ride the layout (the kernel's
+    per-pair VPU tail is the frame's dominant cost, so columns are cheaper
+    than ops — the MXU absorbs extra rows at ~18% of the tail's cost/pair):
+
+    * the z-row ORIGIN part is stored NEGATED, so t = mm[-z_o]/mm[dz]
+      without a per-pair negate;
+    * the THIRD barycentric w' = 1 - u - v gets its own rows
+      (w_o = 1 - u_o - v_o, wd = -(du + dv)), so the kernel evaluates it
+      with one fma instead of two subtracts.
     """
     c, k = cs.woop.shape[0], cs.k
     woop = cs.woop  # (C, K, 3, 4)
-    w = jnp.zeros((c, 8, 6 * k), jnp.float32)
+    w = jnp.zeros((c, 8, 8 * k), jnp.float32)
     for axis in range(3):
-        w = w.at[:, 0:4, axis * k : (axis + 1) * k].set(
-            jnp.swapaxes(woop[:, :, axis, :], 1, 2)
-        )
-        w = w.at[:, 4:7, (3 + axis) * k : (4 + axis) * k].set(
+        o_part = jnp.swapaxes(woop[:, :, axis, :], 1, 2)
+        if axis == 2:
+            o_part = -o_part
+        w = w.at[:, 0:4, axis * k : (axis + 1) * k].set(o_part)
+        w = w.at[:, 4:7, (4 + axis) * k : (5 + axis) * k].set(
             jnp.swapaxes(woop[:, :, axis, :3], 1, 2)
         )
+    wo = -(woop[:, :, 0, :] + woop[:, :, 1, :])  # (C, K, 4)
+    wo = wo.at[:, :, 3].add(1.0)
+    w = w.at[:, 0:4, 3 * k : 4 * k].set(jnp.swapaxes(wo, 1, 2))
+    wd = -(woop[:, :, 0, :3] + woop[:, :, 1, :3])
+    w = w.at[:, 4:7, 7 * k : 8 * k].set(jnp.swapaxes(wd, 1, 2))
     return planar_split(w)
 
 
@@ -130,7 +144,7 @@ def _split3(x):
 
 
 def planar_split(w: jax.Array) -> jax.Array:
-    """(C, 8, 6K) f32 -> (C, 48, 6K) bf16 split operand (bf16x3 scheme).
+    """(C, 8, nK) f32 -> (C, 48, nK) bf16 split operand (bf16x3 scheme).
 
     The kernel's dot runs at the MXU's native 1-pass bf16 precision: the
     remote Mosaic's fp32 contract precision measured ~2x on the frame, and
@@ -670,7 +684,8 @@ def build_visit_groups_table(table, entry, counts, budget: int, g: int,
 VISIT_GROUP = 4  # clusters folded per grid step
 
 
-def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
+def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
+                 count_exec: bool = False):
     # The group-local column rides the 11 low mantissa bits of packed t;
     # sentinel 2047 marks "carried best wins", so g*k must stay below it.
     if g * k > 2047:
@@ -694,10 +709,20 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
             out_t_ref[0, 0, :] = init_t_ref[0, 0, :]
             out_slot_ref[0, 0, :] = init_slot_ref[0, 0, :]
 
+        executed = is_real & (ve_ref[v] <= jnp.max(out_t_ref[0, 0, :]))
+        if count_exec:
+            # Diagnostic build (tools/exec_stats.py): per-step count of
+            # sub-visits whose fold actually ran, for executed-vs-scheduled
+            # pair accounting.  Not compiled in production launches.
+            n_valid = sum((vcg_ref[kk, v] >= 0).astype(jnp.int32)
+                          for kk in range(g))
+            w_out_refs[g + 2][0, 0, :] = jnp.broadcast_to(
+                jnp.where(executed, n_valid, 0).astype(jnp.int32), (128,))
+
         # Early-out: groups are near-to-far per tile, so once this group's
         # conservative entry exceeds every ray's current best the tile's
         # remaining groups cannot improve anything.
-        @pl.when(is_real & (ve_ref[v] <= jnp.max(out_t_ref[0, 0, :])))
+        @pl.when(executed)
         def _():
             rays = rays_ref[0]  # (48, R) bf16 — rays on LANES
             best_t = out_t_ref[0, 0, :]
@@ -738,20 +763,25 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
                 # here — Mosaic's default dot precision is 1-pass bf16
                 # (~1e-2 relative, leaks edge hits) and fp32 contract
                 # precision (HIGHEST) measured ~2x on the frame.
+                # Column layout (planar_mats): the z origin row arrives
+                # NEGATED (t needs no negate) and the third barycentric has
+                # its own rows (one fma, not two subtracts); the validity +
+                # t_min tests share one min tree, so the whole accept test
+                # is a single compare against zero.
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (6k, R)
-                opz = mm[2 * k : 3 * k]
-                dpz = mm[5 * k : 6 * k]
-                tt = -opz / dpz
-                u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
-                vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
-                q = jnp.minimum(jnp.minimum(u, vv), 1.0 - u - vv)
-                ok = (q >= 0.0) & (tt > t_min)  # NaN/inf t or bary => false
+                    preferred_element_type=jnp.float32)  # (8k, R)
+                tt = mm[2 * k : 3 * k] / mm[6 * k : 7 * k]
+                u = mm[0 * k : 1 * k] + tt * mm[4 * k : 5 * k]
+                vv = mm[1 * k : 2 * k] + tt * mm[5 * k : 6 * k]
+                ww = mm[3 * k : 4 * k] + tt * mm[7 * k : 8 * k]
+                q = jnp.minimum(jnp.minimum(u, vv),
+                                jnp.minimum(ww, tt - t_min))
                 row = jax.lax.broadcasted_iota(jnp.int32, (k, tile_r), 0)
                 packed = (pltpu.bitcast(tt, jnp.int32) & jnp.int32(~2047)) | (
                     row + kk * k)
-                packed = jnp.where(ok, packed, jnp.int32(2**31 - 2))
+                # NaN/inf t or bary => q NaN/negative => false
+                packed = jnp.where(q >= 0.0, packed, jnp.int32(2**31 - 2))
                 return jnp.minimum(m, jnp.min(packed, axis=0))
 
             for kk in range(g):
@@ -775,9 +805,9 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "tile_r", "budget"))
+@partial(jax.jit, static_argnames=("k", "tile_r", "budget", "count_exec"))
 def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
-            budget: int):
+            budget: int, count_exec: bool = False):
     """One kernel launch over a grouped visit chunk.
 
     rays8: (T+1, 48, R) bf16 split stack incl. dummy tile; init_t/init_slot: (T+1, 1, R).
@@ -809,28 +839,33 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, SPLIT_ROWS, 6 * k), cluster_map(kk),
+            pl.BlockSpec((1, SPLIT_ROWS, 8 * k), cluster_map(kk),
                          memory_space=pltpu.VMEM)
             for kk in range(g)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, 1, 128), lambda v, vt, vf, ve, vcg: (v, 0, 0),
+                           memory_space=pltpu.VMEM)] if count_exec else []),
     )
-    out_t, out_slot = pl.pallas_call(
-        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g),
+    out = pl.pallas_call(
+        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g, count_exec=count_exec),
         out_shape=[
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.float32),
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((budget, 1, 128), jnp.int32)]
+             if count_exec else []),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(vt, vf, ve, vcg, rays8, init_t, init_slot, *([w] * g))
+    out_t, out_slot = out[0], out[1]
     # Tiles with zero visits never ran: keep their seeds.
     touched_t = jnp.zeros((n_slots,), bool).at[vt].set(True, mode="drop")
     out_t = jnp.where(touched_t[:, None, None], out_t, init_t)
     out_slot = jnp.where(touched_t[:, None, None], out_slot, init_slot)
+    if count_exec:
+        return out_t, out_slot, out[2][:, 0, 0]
     return out_t, out_slot
 
 
@@ -872,17 +907,18 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
             tmax2 = tmax_ref[0]  # (1, R)
 
             def fold(kk, acc):
-                # pre-split bf16 operands: see _make_kernel's fold
+                # pre-split bf16 operands + golfed column layout: see
+                # _make_kernel's fold / planar_mats
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (6k, R)
-                opz = mm[2 * k : 3 * k]
-                dpz = mm[5 * k : 6 * k]
-                tt = -opz / dpz
-                u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
-                vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
-                q = jnp.minimum(jnp.minimum(u, vv), 1.0 - u - vv)
-                ok = (q >= 0.0) & (tt > t_min) & (tt < tmax2)
+                    preferred_element_type=jnp.float32)  # (8k, R)
+                tt = mm[2 * k : 3 * k] / mm[6 * k : 7 * k]
+                u = mm[0 * k : 1 * k] + tt * mm[4 * k : 5 * k]
+                vv = mm[1 * k : 2 * k] + tt * mm[5 * k : 6 * k]
+                ww = mm[3 * k : 4 * k] + tt * mm[7 * k : 8 * k]
+                q = jnp.minimum(jnp.minimum(u, vv),
+                                jnp.minimum(ww, tt - t_min))
+                ok = (q >= 0.0) & (tt < tmax2)
                 return jnp.where(jnp.any(ok, axis=0, keepdims=True), 1, acc)
 
             for kk in range(g):
@@ -920,7 +956,7 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, SPLIT_ROWS, 6 * k), cluster_map(kk),
+            pl.BlockSpec((1, SPLIT_ROWS, 8 * k), cluster_map(kk),
                          memory_space=pltpu.VMEM)
             for kk in range(g)
         ],

@@ -244,3 +244,48 @@ def test_superblock_binning_matches_dense(scene_geo, rays, monkeypatch):
                     np.testing.assert_allclose(
                         np.asarray(ref[2])[t, cl], np.asarray(got[2])[t, cl],
                         rtol=1e-6)
+
+
+def test_exec_counter_is_diagnostic_only(scene_geo, rays):
+    """count_exec=True must leave (best_t, best_slot) bit-identical and
+    report executed sub-visits <= scheduled (the early-out only skips)."""
+    from directx_raytracer_tpu.bvh.pallas_intersect import (
+        RANK_CAP, _launch, rank_table_bits, build_visit_groups_table,
+        rays_split)
+
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    cs, w = bvh.clusters, bvh.wplanar
+    n = o.shape[0]
+    tiles = n // TILE_R
+    budget = 128
+    g = VISIT_GROUP
+    words, cum, entry, counts = bin_clusters_bits(
+        o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), cs)
+    cap = min(RANK_CAP, words.shape[1] * 32)
+    counts_lo = jnp.minimum(counts, cap)
+    table = rank_table_bits(words, cum, cap)
+    vt, vcs, vf, ve, rem = build_visit_groups_table(
+        table, entry, counts_lo, budget, g)
+    assert int(rem) == 0, "test scene must fit one budget window"
+
+    rays8 = jnp.concatenate(
+        [o, jnp.ones((n, 1), jnp.float32), dd, jnp.zeros((n, 1), jnp.float32)],
+        axis=1).reshape(tiles, TILE_R, 8).swapaxes(1, 2)
+    rays8 = jnp.concatenate([rays8, jnp.zeros((1, 8, TILE_R), jnp.float32)])
+    rays8 = rays_split(rays8)
+    init_t = jnp.full((tiles + 1, 1, TILE_R), 10000.0, jnp.float32)
+    init_slot = jnp.full((tiles + 1, 1, TILE_R), -1, jnp.int32)
+
+    bt, bs = _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w,
+                     k=cs.k, tile_r=TILE_R, budget=budget)
+    bt2, bs2, ec = _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w,
+                           k=cs.k, tile_r=TILE_R, budget=budget,
+                           count_exec=True)
+    # compare REAL tiles only: the trailing dummy tile is scratch for
+    # padding visits (holds NaN garbage that NaN != NaN would flag)
+    assert bool(jnp.all(bt[:tiles] == bt2[:tiles]))
+    assert bool(jnp.all(bs[:tiles] == bs2[:tiles]))
+    executed = int(np.asarray(ec).sum())
+    scheduled = int(np.asarray(counts_lo).sum())
+    assert 0 < executed <= scheduled
