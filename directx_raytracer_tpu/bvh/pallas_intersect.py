@@ -1081,10 +1081,11 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
 RANK_CAP = 128  # rank-table width: covers p99 tiles; the rest overflow
 
 
-@partial(jax.jit, static_argnames=("tile_r", "budget", "g", "cap"))
+@partial(jax.jit, static_argnames=("tile_r", "budget", "g", "cap",
+                                   "phase_cap"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
             budget: int, bounds=None, g: int | None = None,
-            cap: int = RANK_CAP):
+            cap: int = RANK_CAP, phase_cap: int = 0):
     """(best_t, best_slot) over all rays (padded to whole tiles inside).
 
     ``g`` (clusters folded per grid step) defaults to 512 // k so a step
@@ -1095,9 +1096,19 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     p99 tiles bin < cap clusters), then a while_loop picks up ranks
     [cap, counts) for the rare fat tiles via the general v1 builder.  The
     while body only executes when such tiles exist.
+
+    ``phase_cap`` > 0 switches to the T-CAPPED schedule for deep scenes:
+    phase 1 runs only each tile's nearest ``phase_cap`` binned clusters,
+    then the achieved per-tile max best_t CULLS the remaining clusters at
+    re-binning time (``entry > t_cap`` never gets scheduled) — the same
+    criterion as the kernel's per-step early-out, applied before paying
+    any per-step cost.  Exact: a cluster is dropped only when no ray in
+    the tile can still be improved by it.
     """
     if g is None:
         g = max(1, 512 // cs.k)
+    if phase_cap < 0 or phase_cap > cap:
+        raise ValueError(f"phase_cap {phase_cap} must lie in [0, cap={cap}]")
     n = origins.shape[0]
     pad = (-n) % tile_r
     if pad:
@@ -1160,6 +1171,59 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     )
     best_slot = jnp.full((tiles + 1, 1, tile_r), -1, jnp.int32)
 
+    def body(make_groups):
+        def f(state):
+            start, bt, bs = state
+            vt2, vcs2, vf2, ve2, _ = make_groups(start)
+            bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar,
+                               cs.k, tile_r, budget)
+            return start + budget, bt2, bs2
+        return f
+
+    if phase_cap:
+        # ---- phase 1: nearest phase_cap ranks of every tile ----
+        counts1 = jnp.minimum(counts, phase_cap)
+        total1 = jnp.sum((counts1 + g - 1) // g)
+
+        def make_p1(start):
+            return build_visit_groups_table(table, entry, counts1, budget, g,
+                                            start=start)
+
+        _, best_t, best_slot = jax.lax.while_loop(
+            lambda s: s[0] < total1, body(make_p1),
+            (jnp.int32(0), best_t, best_slot))
+
+        # ---- phase 2: recull ranks >= phase_cap by achieved best_t ----
+        c = entry.shape[1]
+        t_cap = jnp.max(best_t[:tiles, 0, :], axis=1)  # (T,)
+        keep = entry <= t_cap[:, None]
+        rankpos = jnp.arange(phase_cap, dtype=jnp.int32)[None, :]
+        first = table[:, :phase_cap]  # already-visited cluster ids
+        drop = jnp.zeros((tiles, c), bool).at[
+            jnp.arange(tiles)[:, None], jnp.clip(first, 0, c - 1)].max(
+            rankpos < counts1[:, None], mode="drop")
+        keep = keep & ~drop
+        w_ = words.shape[1]
+        kb = keep[:, : w_ * 32].reshape(tiles, w_, 32).astype(jnp.int32)
+        words2 = (kb << jnp.arange(32, dtype=jnp.int32)[None, None, :]).sum(-1)
+        words2 = words2 & words  # only originally-binned clusters
+        cnt_w = jax.lax.population_count(words2)
+        cum2 = jnp.cumsum(cnt_w, axis=1)
+        counts2 = cnt_w.sum(axis=1)
+        total2 = jnp.sum((counts2 + g - 1) // g)
+
+        def make_p2(start):
+            return build_visit_groups_bits(words2, cum2, entry, counts2,
+                                           budget, g, start=start)
+
+        _, best_t, best_slot = jax.lax.while_loop(
+            lambda s: s[0] < total2, body(make_p2),
+            (jnp.int32(0), best_t, best_slot))
+
+        best_t = best_t[:tiles].reshape(-1)[:n]
+        best_slot = best_slot[:tiles].reshape(-1)[:n]
+        return best_t, best_slot
+
     vt, vcs, vf, ve, _ = make_lo(0)
     best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
                                 wplanar, cs.k, tile_r, budget)
@@ -1171,15 +1235,6 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     # best_slot) via visit_first.
     total_lo = jnp.sum((counts_lo + g - 1) // g)
     total_hi = jnp.sum((counts_hi + g - 1) // g)
-
-    def body(make_groups):
-        def f(state):
-            start, bt, bs = state
-            vt2, vcs2, vf2, ve2, _ = make_groups(start)
-            bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar,
-                               cs.k, tile_r, budget)
-            return start + budget, bt2, bs2
-        return f
 
     _, best_t, best_slot = jax.lax.while_loop(
         lambda s: s[0] < total_lo, body(make_lo),
@@ -1195,10 +1250,12 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     return best_t, best_slot
 
 
-@partial(jax.jit, static_argnames=("tile_r", "budget", "refine"))
+@partial(jax.jit, static_argnames=("tile_r", "budget", "refine",
+                                   "phase_cap"))
 def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
                      tile_r: int = TILE_R, budget: int = VISIT_BUDGET,
-                     refine: bool = False, bounds=None) -> Hit:
+                     refine: bool = False, bounds=None,
+                     phase_cap: int = 0) -> Hit:
     """Closest hit via the fused kernel.
 
     By default returns a COARSE hit: ``t`` carries the kernel's packed value
@@ -1219,7 +1276,7 @@ def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
     best_t, best_slot = _search(origins, dirs, t_max, cs, wplanar, tile_r,
-                                budget, bounds)
+                                budget, bounds, phase_cap=phase_cap)
     hit = best_slot >= 0
     if cs.identity_order:
         tri = best_slot  # geometry is Morton-sorted: slot == triangle id

@@ -289,3 +289,20 @@ def test_exec_counter_is_diagnostic_only(scene_geo, rays):
     executed = int(np.asarray(ec).sum())
     scheduled = int(np.asarray(counts_lo).sum())
     assert 0 < executed <= scheduled
+
+
+def test_phase_cap_schedule_equivalent(scene_geo, rays):
+    """The t-capped two-phase schedule must produce the same winners as
+    the one-shot schedule: the recull criterion (entry > max best_t over
+    the tile) can only drop clusters no ray could still accept."""
+    from directx_raytracer_tpu.bvh.pallas_intersect import _search
+
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    t0 = jnp.full((o.shape[0],), 10000.0, jnp.float32)
+    bt1, bs1 = _search(o, dd, t0, bvh.clusters, bvh.wplanar, TILE_R, 128)
+    for cap1 in (2, 4):
+        bt2, bs2 = _search(o, dd, t0, bvh.clusters, bvh.wplanar, TILE_R,
+                           128, phase_cap=cap1)
+        assert bool(jnp.all(bs1 == bs2)), f"cap1={cap1}"
+        assert bool(jnp.all(bt1 == bt2)), f"cap1={cap1}"
