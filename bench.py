@@ -220,7 +220,9 @@ def main():
         *_, counts = jax.jit(bin_clusters_bits)(
             o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), cs)
         pairs_per_ray = float(np.asarray(counts).mean()) * cs.k
-        flops_per_frame = pairs_per_ray * WIDTH * HEIGHT * 96.0
+        # physical MXU work per pair: 8 planar output rows x K=48 bf16-split
+        # contraction x 2 flops/MAC (see planar_mats/planar_split)
+        flops_per_frame = pairs_per_ray * WIDTH * HEIGHT * 768.0
         mfu = flops_per_frame / dt / MXU_PEAK_FLOPS
         breakdown["frame_ms"] = round(dt * 1e3, 2)
     except Exception:

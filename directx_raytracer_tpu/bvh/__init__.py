@@ -64,13 +64,26 @@ def _auto_tile_r(bvh: BVH) -> int:
     return TILE_R
 
 
+def _auto_phase_cap(bvh: BVH) -> int:
+    """Default phase-1 width for the t-capped two-phase schedule: 0 (one
+    shot) until TPU measurement picks a winner per scene scale — the
+    placeholder keeps the knob's auto semantics stable for callers."""
+    return 0
+
+
 def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536,
-                          tile_r: int | None = None):
+                          tile_r: int | None = None,
+                          phase_cap: int | None = None):
     """(origins, dirs, geometry) -> Hit, closing over a prebuilt BVH.
 
     ``use_pallas=False`` selects the pure-XLA clustered path (slower but
-    runs everywhere, e.g. CPU tests without interpret mode)."""
+    runs everywhere, e.g. CPU tests without interpret mode).
+    ``phase_cap=None`` auto-selects the t-capped two-phase schedule
+    (see pallas_intersect._search) by scene depth; pass 0 to force the
+    one-shot schedule or N to force a phase-1 width."""
     tile_r = tile_r or _auto_tile_r(bvh)
+    if phase_cap is None:
+        phase_cap = _auto_phase_cap(bvh)
 
     if use_pallas:
         def intersect(origins, dirs, geometry, tile_bounds=None):
@@ -79,7 +92,8 @@ def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536,
             # breaks past ~200 MB of operand (see Geometry.accel).
             b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
             return intersect_pallas(origins, dirs, b.clusters, b.wplanar,
-                                    bounds=tile_bounds, tile_r=tile_r)
+                                    bounds=tile_bounds, tile_r=tile_r,
+                                    phase_cap=phase_cap)
     else:
         def intersect(origins, dirs, geometry, tile_bounds=None):
             b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
