@@ -1210,14 +1210,29 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
         cnt_w = jax.lax.population_count(words2)
         cum2 = jnp.cumsum(cnt_w, axis=1)
         counts2 = cnt_w.sum(axis=1)
-        total2 = jnp.sum((counts2 + g - 1) // g)
+        # schedule phase 2 through its own rank table (one gather per
+        # sub-visit, like phase 1) with the bits builder only for the rare
+        # tiles whose survivors exceed the table cap
+        counts2_lo = jnp.minimum(counts2, cap)
+        counts2_hi = counts2 - counts2_lo
+        table2 = rank_table_bits(words2, cum2, cap)
+        total2 = jnp.sum((counts2_lo + g - 1) // g)
+        total2_hi = jnp.sum((counts2_hi + g - 1) // g)
 
         def make_p2(start):
-            return build_visit_groups_bits(words2, cum2, entry, counts2,
-                                           budget, g, start=start)
+            return build_visit_groups_table(table2, entry, counts2_lo,
+                                            budget, g, start=start)
+
+        def make_p2_hi(start):
+            return build_visit_groups_bits(words2, cum2, entry, counts2_hi,
+                                           budget, g, start=start,
+                                           rank_offset=counts2_lo)
 
         _, best_t, best_slot = jax.lax.while_loop(
             lambda s: s[0] < total2, body(make_p2),
+            (jnp.int32(0), best_t, best_slot))
+        _, best_t, best_slot = jax.lax.while_loop(
+            lambda s: s[0] < total2_hi, body(make_p2_hi),
             (jnp.int32(0), best_t, best_slot))
 
         best_t = best_t[:tiles].reshape(-1)[:n]

@@ -306,3 +306,8 @@ def test_phase_cap_schedule_equivalent(scene_geo, rays):
                            128, phase_cap=cap1)
         assert bool(jnp.all(bs1 == bs2)), f"cap1={cap1}"
         assert bool(jnp.all(bt1 == bt2)), f"cap1={cap1}"
+    # tiny rank-table cap forces phase 2's hi (bits-builder) overflow path
+    bt3, bs3 = _search(o, dd, t0, bvh.clusters, bvh.wplanar, TILE_R, 128,
+                       cap=4, phase_cap=2)
+    assert bool(jnp.all(bs1 == bs3))
+    assert bool(jnp.all(bt1 == bt3))
