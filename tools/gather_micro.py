@@ -44,7 +44,7 @@ def main():
     idx_local = (jnp.repeat(base, 768)
                  + jax.random.randint(key, (N,), 0, 512, jnp.int32))
 
-    for w in (1, 4, 8, 16, 32):
+    for w in (1, 4, 8, 16, 32, 40, 48, 64):
         tbl = jnp.arange(T * w, dtype=jnp.float32).reshape(T, w)
         timed(lambda e, tbl=tbl: tbl[jnp.minimum(idx_rand + e.astype(jnp.int32), T - 1)],
               label=f"random idx, width {w}")

@@ -20,5 +20,6 @@ run twopass_100k python -m tools.twopass_ab 100000 2 4
 run twopass_1m  python -m tools.twopass_ab 1000000 2 4 8
 run exec_stats  python -m tools.exec_stats 100000 1000000
 run whitted_trace python -m tools.trace_frame 100000 --whitted
+run gather python -m tools.gather_micro
 run whitted_1080 python -m tools.whitted_bench --width 1920 --height 1080 --depth 3 --frames 5
 echo "=== batch done $(date +%H:%M:%S)" | tee -a /tmp/r3batch/summary.log
