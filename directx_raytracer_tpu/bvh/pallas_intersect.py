@@ -1196,6 +1196,11 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
         # ---- phase 2: recull ranks >= phase_cap by achieved best_t ----
         c = entry.shape[1]
         t_cap = jnp.max(best_t[:tiles, 0, :], axis=1)  # (T,)
+        # best_t is packed-TRUNCATED (11 low mantissa bits zeroed); widen the
+        # cap by one truncation bucket so a coincident triangle whose true t
+        # ties the carried best inside that bucket is never culled — the
+        # recull then drops strictly less than the kernel's own early-out.
+        t_cap = t_cap * (1.0 + 2.0 ** -11) + 1e-7
         keep = entry <= t_cap[:, None]
         rankpos = jnp.arange(phase_cap, dtype=jnp.int32)[None, :]
         first = table[:, :phase_cap]  # already-visited cluster ids
