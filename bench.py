@@ -38,9 +38,72 @@ import numpy as np
 def _stage(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-from directx_raytracer_tpu import testscenes
-from directx_raytracer_tpu.models.scene import build_device_scene
-from directx_raytracer_tpu.render.debug import render_debug
+
+PROBE_TIMEOUT_S = int(os.environ.get("DXRT_BENCH_PROBE_TIMEOUT", "150"))
+PROBE_RETRIES = 3
+RUN_DEADLINE_S = int(os.environ.get("DXRT_BENCH_DEADLINE", "3000"))
+
+
+def _fail_line(reason: str) -> None:
+    """A machine-parseable failure line (the driver records stdout): value
+    None + an explicit error beats a hung process with empty output."""
+    print(json.dumps({
+        "metric": "primary_rays_1080p_100k_tris", "value": None,
+        "unit": "Mrays/s/chip", "error": reason,
+    }), flush=True)
+
+
+def probe_device_or_die() -> None:
+    """Wedge-proofing (round 3 lost its headline to a hung axon tunnel):
+    backend init is attempted in a SUBPROCESS with a hard timeout and
+    bounded retries, so a wedged tunnel yields a clear non-zero exit with
+    a "TPU unavailable" line instead of an unbounded hang.
+
+    Must run BEFORE anything initializes the backend in this process —
+    package imports touch the backend, so main() imports lazily after this.
+    """
+    import subprocess
+    code = "import jax; print(jax.devices())"
+    delay = 20.0
+    for attempt in range(1, PROBE_RETRIES + 1):
+        _stage(f"device probe (attempt {attempt}/{PROBE_RETRIES}, "
+               f"timeout {PROBE_TIMEOUT_S}s)")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT_S)
+            if r.returncode == 0 and r.stdout.strip():
+                _stage(f"device probe ok: {r.stdout.strip().splitlines()[-1]}")
+                return
+            tail = (r.stderr or "").strip().splitlines()
+            _stage("device probe failed: "
+                   + (tail[-1] if tail else f"rc={r.returncode}"))
+        except subprocess.TimeoutExpired:
+            _stage(f"device probe TIMED OUT after {PROBE_TIMEOUT_S}s "
+                   "(tunnel wedged?)")
+        if attempt < PROBE_RETRIES:
+            time.sleep(delay)
+            delay *= 2
+    _fail_line("TPU unavailable: device probe failed "
+               f"({PROBE_RETRIES} attempts x {PROBE_TIMEOUT_S}s)")
+    raise SystemExit(2)
+
+
+def _arm_watchdog() -> None:
+    """Belt-and-suspenders: if the run itself wedges past the probe (e.g. a
+    hung remote compile), emit the failure line and hard-exit instead of
+    hanging the driver's capture window."""
+    import threading
+
+    def boom():
+        _fail_line(f"bench exceeded {RUN_DEADLINE_S}s deadline "
+                   "(hung compile or wedged tunnel)")
+        os._exit(3)
+
+    t = threading.Timer(RUN_DEADLINE_S, boom)
+    t.daemon = True
+    t.start()
+
 
 NORTH_STAR_MRAYS = 500.0
 WIDTH, HEIGHT = 1920, 1080
@@ -66,9 +129,11 @@ def kernel_smoke() -> None:
     silently reporting a fast-but-wrong number."""
     import jax.numpy as jnp
 
+    from directx_raytracer_tpu import testscenes
     from directx_raytracer_tpu.bvh import build_bvh
     from directx_raytracer_tpu.bvh.pallas_intersect import (
         intersect_pallas, occluded_pallas)
+    from directx_raytracer_tpu.models.scene import build_device_scene
     from directx_raytracer_tpu.ops.intersect import (
         intersect_bruteforce, occluded_bruteforce)
     from directx_raytracer_tpu.ops.rays import generate_rays_tiled
@@ -116,6 +181,8 @@ def golden_tile_gate() -> None:
 
     from directx_raytracer_tpu.bvh import build_bvh, make_bvh_intersect_fn
     from directx_raytracer_tpu.io import crtscene
+    from directx_raytracer_tpu.models.scene import build_device_scene
+    from directx_raytracer_tpu.render.debug import render_debug
     from directx_raytracer_tpu.utils.image import to_u8
 
     scene = crtscene.load(DRAGON)
@@ -140,6 +207,14 @@ def golden_tile_gate() -> None:
 
 
 def main():
+    probe_device_or_die()
+    _arm_watchdog()
+    # Imports AFTER the probe: importing package modules initializes the
+    # backend, which is exactly the call that hangs on a wedged tunnel.
+    from directx_raytracer_tpu import testscenes
+    from directx_raytracer_tpu.models.scene import build_device_scene
+    from directx_raytracer_tpu.render.debug import render_debug
+
     _stage("kernel smoke")
     kernel_smoke()
     _stage("golden tile gate")
@@ -240,6 +315,41 @@ def main():
         out["pairs_per_ray"] = round(pairs_per_ray, 1)
         out["est_mfu"] = round(mfu, 5)
         out["breakdown_ms"] = breakdown
+
+    # Second metric of record (VERDICT r3 #8): full Whitted 1080p frame —
+    # depth 3, 4 lights, 100k tris, the workload the reference parses for
+    # but never executes (SURVEY.md fact #2).  Reuses the same scene, BVH
+    # and overhead-subtraction methodology as the primary number.
+    try:
+        from directx_raytracer_tpu.bvh import make_bvh_occluder_factory
+        from directx_raytracer_tpu.render import render_whitted
+
+        occf = make_bvh_occluder_factory(bvh)
+        nw = 5
+
+        @jax.jit
+        def run_w(ds, pos_in):
+            def body(i, carry):
+                p2, acc = carry
+                img, _ = render_whitted(ds, p2, rot, WIDTH, HEIGHT,
+                                        max_depth=3, spp=1,
+                                        intersect_fn=intersect_fn,
+                                        occluder_factory=occf)
+                v = img[0, 0, 0]
+                return p2 + jnp.where(jnp.isfinite(v), v, 0.0) * 0.0, acc + v
+            _, acc = jax.lax.fori_loop(0, nw, body, (pos_in, jnp.float32(0)))
+            return acc
+
+        _stage("compiling whitted loop")
+        float(run_w(dscene, p))
+        _stage("timing whitted")
+        t0 = time.perf_counter()
+        float(run_w(dscene, p))
+        dt_w = (time.perf_counter() - t0 - overhead) / nw
+        out["whitted_1080p_ms"] = round(dt_w * 1e3, 1)
+    except Exception as e:  # never lose the headline to the second metric
+        out["whitted_1080p_ms"] = None
+        out["whitted_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

@@ -112,15 +112,15 @@ def test_bitwalk_binning_matches_xla_walker():
                                 8, 8)
     bvh = build_bvh(d.geometry)
     ref = intersect_clustered(o, dd, bvh.clusters)
-    got = pi.intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=64,
-                              budget=64, refine=True)  # forces overflow too
+    got = pi.intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=128,
+                              budget=8, refine=True)  # forces overflow too
     np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(got.tri))
     np.testing.assert_allclose(np.asarray(ref.t), np.asarray(got.t),
                                rtol=1e-5)
     tmax = jnp.full((o.shape[0],), 25.0)
     occ_ref = np.asarray(occluded_clustered(o, dd, bvh.clusters, tmax))
     occ = np.asarray(pi.occluded_pallas(o, dd, bvh.clusters, bvh.wplanar,
-                                        tmax, tile_r=64))
+                                        tmax, tile_r=128, budget=8))
     np.testing.assert_array_equal(occ, occ_ref)
 
 
@@ -311,3 +311,17 @@ def test_phase_cap_schedule_equivalent(scene_geo, rays):
                        cap=4, phase_cap=2)
     assert bool(jnp.all(bs1 == bs3))
     assert bool(jnp.all(bt1 == bt3))
+
+
+def test_tile_r_mosaic_envelope_guard(scene_geo, rays):
+    """tile_r below 128 lanes hangs the REMOTE Mosaic compile/run silently
+    (r2 weak #5); both launch paths must reject it loudly instead."""
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    with pytest.raises(ValueError, match="Mosaic safe envelope"):
+        intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=64)
+    with pytest.raises(ValueError, match="Mosaic safe envelope"):
+        occluded_pallas(o, dd, bvh.clusters, bvh.wplanar,
+                        jnp.full((o.shape[0],), 25.0, jnp.float32), tile_r=64)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=192)
