@@ -31,23 +31,29 @@ class BVH:
     Registered as a pytree so it can ride ``Geometry.accel`` through jit
     as an argument (see models/scene.py)."""
 
-    def __init__(self, clusters: ClusterSet, wplanar):
+    def __init__(self, clusters: ClusterSet, wplanar, scheme: str = "native"):
         self.clusters = clusters
         self.wplanar = wplanar
+        # MXU operand/precision scheme matching wplanar's layout (STATIC
+        # pytree aux: it selects kernel code, not data).
+        self.scheme = scheme
 
 
 jax.tree_util.register_pytree_node(
     BVH,
-    lambda b: ((b.clusters, b.wplanar), None),
-    lambda aux, children: BVH(*children),
+    lambda b: ((b.clusters, b.wplanar), b.scheme),
+    lambda aux, children: BVH(*children, scheme=aux),
 )
 
 
-def build_bvh(geometry, k: int = 128) -> BVH:
+def build_bvh(geometry, k: int = 128, scheme: str = "native") -> BVH:
     # k=128 balances cluster-level culling cost (binning/sort scale with C)
     # against per-visit triangle waste; measured best on 100k-tri scenes.
+    from .pallas_intersect import planar_mats6
+
     cs = build_clusters(geometry, k=k)
-    return BVH(cs, planar_mats(cs))
+    w = planar_mats6(cs) if scheme == "bary6" else planar_mats(cs)
+    return BVH(cs, w, scheme=scheme)
 
 
 def _auto_tile_r(bvh: BVH) -> int:
@@ -65,9 +71,16 @@ def _auto_tile_r(bvh: BVH) -> int:
 
 
 def _auto_phase_cap(bvh: BVH) -> int:
-    """Default phase-1 width for the t-capped two-phase schedule: 0 (one
-    shot) until TPU measurement picks a winner per scene scale — the
-    placeholder keeps the knob's auto semantics stable for callers."""
+    """Default phase-1 width for the t-capped two-phase schedule: 0 — the
+    ONE-SHOT schedule is the measured winner at every scene scale.
+
+    r4 A/B with the right-sized grid (tools/twopass_ab.py, 1080p primaries):
+    100k tris one-shot 117.4 >= caps {2: 114.0, 4: 114.1, 8: 117.4}; 1M tris
+    one-shot 44.2 > caps {4: 40.3, 8: 42.2, 16: 41.6} Mrays/s.  The recull's
+    re-binning + second rank table cost more than the steps it drops — the
+    kernel's own per-step early-out already skips their compute, and step
+    cost is dominated by the unconditional operand DMA, which phase 2
+    re-pays for every surviving cluster."""
     return 0
 
 
@@ -93,7 +106,8 @@ def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536,
             b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
             return intersect_pallas(origins, dirs, b.clusters, b.wplanar,
                                     bounds=tile_bounds, tile_r=tile_r,
-                                    phase_cap=phase_cap)
+                                    phase_cap=phase_cap,
+                                    scheme=getattr(b, "scheme", "native"))
     else:
         def intersect(origins, dirs, geometry, tile_bounds=None):
             b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
@@ -112,7 +126,8 @@ def make_bvh_occluder_factory(bvh: BVH, use_pallas: bool = True, block: int = 15
         if use_pallas:
             def occluded(origins, dirs, max_t):
                 return occluded_pallas(origins, dirs, b.clusters,
-                                       b.wplanar, max_t, tile_r=tile_r)
+                                       b.wplanar, max_t, tile_r=tile_r,
+                                       scheme=getattr(b, "scheme", "native"))
         else:
             def occluded(origins, dirs, max_t):
                 return occluded_clustered(origins, dirs, b.clusters, max_t, block=block)

@@ -83,7 +83,33 @@ def _interpret() -> bool:
 
 
 def planar_mats(cs: ClusterSet) -> jax.Array:
-    """(C, 48, 8K) bf16 split combined matmul operand.
+    """(C, 48, 8K) bf16 split combined matmul operand (the production
+    "native" scheme; see :func:`planar_mats_f32` for the raw f32 form)."""
+    return planar_split(planar_mats_f32(cs))
+
+
+def planar_mats6(cs: ClusterSet) -> jax.Array:
+    """(C, 48, 6K) bf16 split operand for the "bary6" scheme: column
+    groups [u_o | v_o | -z_o | du | dv | dz] with NO third-barycentric
+    rows — the kernel computes w' = 1 - u - v on the VPU instead.  25%
+    less per-cluster DMA and 25% fewer MXU output tiles than the 8-group
+    operand, for one extra VPU op per pair (see _DOT_SCHEMES)."""
+    c, k = cs.woop.shape[0], cs.k
+    woop = cs.woop  # (C, K, 3, 4)
+    w = jnp.zeros((c, 8, 6 * k), jnp.float32)
+    for axis in range(3):
+        o_part = jnp.swapaxes(woop[:, :, axis, :], 1, 2)
+        if axis == 2:
+            o_part = -o_part
+        w = w.at[:, 0:4, axis * k : (axis + 1) * k].set(o_part)
+        w = w.at[:, 4:7, (3 + axis) * k : (4 + axis) * k].set(
+            jnp.swapaxes(woop[:, :, axis, :3], 1, 2)
+        )
+    return planar_split(w)
+
+
+def planar_mats_f32(cs: ClusterSet) -> jax.Array:
+    """(C, 8, 8K) f32 combined matmul operand.
 
     ``rays32 @ W[c]`` (see :func:`planar_split` / :func:`rays_split`)
     produces planar columns [u_o | v_o | -z_o | w_o | du | dv | dz | wd],
@@ -113,7 +139,7 @@ def planar_mats(cs: ClusterSet) -> jax.Array:
     w = w.at[:, 0:4, 3 * k : 4 * k].set(jnp.swapaxes(wo, 1, 2))
     wd = -(woop[:, :, 0, :3] + woop[:, :, 1, :3])
     w = w.at[:, 4:7, 7 * k : 8 * k].set(jnp.swapaxes(wd, 1, 2))
-    return planar_split(w)
+    return w
 
 
 SPLIT_ROWS = 48  # contraction depth of the bf16x3 split operands (6 x 8)
@@ -683,9 +709,33 @@ def build_visit_groups_table(table, entry, counts, budget: int, g: int,
 
 VISIT_GROUP = 4  # clusters folded per grid step
 
+# Operand/precision schemes for the per-group MXU dot (tools/dma_ab.py A/Bs
+# them; production picks the measured winner):
+#   "native"  — pre-split bf16x3 stacks (planar_split/rays_split), ONE
+#               native-precision pass; 48 rows -> 98 KB/cluster DMA.
+#   "f32_3x"  — raw f32 operands, Precision.HIGH (3-pass bf16x3 in the MXU):
+#               8 rows -> 32 KB/cluster DMA, ~2-split accuracy (~1e-5 rel).
+#   "f32_6x"  — raw f32 operands, Precision.HIGHEST (6-pass): 32 KB, exact.
+#   "f32_1x"  — raw f32, DEFAULT (1-pass bf16): accuracy-leaky DMA ceiling
+#               probe only.
+#   "bary6"   — like "native" but the operand drops the third-barycentric
+#               rows (6 column groups instead of 8: 74 KB/cluster DMA, 25%
+#               fewer MXU output tiles) and the kernel computes
+#               w' = 1 - u - v on the VPU (+1 op/pair).  The r3 golf that
+#               introduced the w rows traded the other way; kernel_micro r4
+#               showed the step is MXU/DMA-bound (machinery 0.63 us +
+#               compute 1.58 us vs a ~0.1 us VPU op), inverting the trade.
+_DOT_SCHEMES = {
+    "native": None,
+    "bary6": None,
+    "f32_1x": jax.lax.Precision.DEFAULT,
+    "f32_3x": jax.lax.Precision.HIGH,  # unsupported by Mosaic (kept for doc)
+    "f32_6x": jax.lax.Precision.HIGHEST,
+}
+
 
 def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
-                 count_exec: bool = False):
+                 count_exec: bool = False, scheme: str = "native"):
     # The group-local column rides the 11 low mantissa bits of packed t;
     # sentinel 2047 marks "carried best wins", so g*k must stay below it.
     if g * k > 2047:
@@ -770,11 +820,19 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
                 # is a single compare against zero.
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (8k, R)
-                tt = mm[2 * k : 3 * k] / mm[6 * k : 7 * k]
-                u = mm[0 * k : 1 * k] + tt * mm[4 * k : 5 * k]
-                vv = mm[1 * k : 2 * k] + tt * mm[5 * k : 6 * k]
-                ww = mm[3 * k : 4 * k] + tt * mm[7 * k : 8 * k]
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_SCHEMES[scheme])  # (8k or 6k, R)
+                if scheme == "bary6":
+                    # 6 column groups [u_o v_o -z_o | du dv dz]; w' on VPU
+                    tt = mm[2 * k : 3 * k] / mm[5 * k : 6 * k]
+                    u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
+                    vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
+                    ww = 1.0 - u - vv
+                else:
+                    tt = mm[2 * k : 3 * k] / mm[6 * k : 7 * k]
+                    u = mm[0 * k : 1 * k] + tt * mm[4 * k : 5 * k]
+                    vv = mm[1 * k : 2 * k] + tt * mm[5 * k : 6 * k]
+                    ww = mm[3 * k : 4 * k] + tt * mm[7 * k : 8 * k]
                 q = jnp.minimum(jnp.minimum(u, vv),
                                 jnp.minimum(ww, tt - t_min))
                 row = jax.lax.broadcasted_iota(jnp.int32, (k, tile_r), 0)
@@ -805,12 +863,40 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("k", "tile_r", "budget", "count_exec"))
+def _fill_pad(vcg: jax.Array) -> jax.Array:
+    """Re-encode padding sub-visits so they cost NO operand DMA.
+
+    A padding entry (-1) used to map to block 0 — a block-index CHANGE from
+    the previous grid step, so the pipeline re-fetched ~98 KB that the
+    predicated-off fold never read (measured 28% of sub-visit slots on the
+    100k frame, plus every trailing padding step).  Instead each padding
+    entry repeats ITS ref's previous step's cluster as ``-(id + 2)``: the
+    index map resolves it to the same block (copy skipped by revisiting),
+    while the ``>= 0`` compute predicate still sees it as padding.
+    """
+    g, b = vcg.shape
+    valid = vcg >= 0
+    idx = jnp.where(valid, jnp.arange(b, dtype=jnp.int32)[None, :], -1)
+    last = jax.lax.cummax(idx, axis=1)  # index of last valid entry <= v
+    fill = jnp.take_along_axis(vcg, jnp.maximum(last, 0), axis=1)
+    fill = jnp.where(last >= 0, -(fill + 2), -1)  # no earlier entry: block 0
+    return jnp.where(valid, vcg, fill)
+
+
+def _pad_block(x):
+    """Resolve a (possibly pad-encoded) cluster id to its block index."""
+    return jnp.maximum(jnp.where(x < 0, -x - 2, x), 0)
+
+
+@partial(jax.jit, static_argnames=("k", "tile_r", "budget", "count_exec",
+                                   "scheme"))
 def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
-            budget: int, count_exec: bool = False):
+            budget: int, count_exec: bool = False, scheme: str = "native"):
     """One kernel launch over a grouped visit chunk.
 
-    rays8: (T+1, 48, R) bf16 split stack incl. dummy tile; init_t/init_slot: (T+1, 1, R).
+    rays8: (T+1, 48, R) bf16 split stack incl. dummy tile ("native" scheme;
+    f32 schemes take (T+1, 8, R) f32 and w (C, 8, 8k) f32 — see
+    _DOT_SCHEMES); init_t/init_slot: (T+1, 1, R).
     Returns updated (best_t, best_slot) of the same shape.
 
     Cluster ids ride SMEM as ONE (g, budget) array (the minor dim is the
@@ -821,26 +907,28 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
     _check_tile_r(tile_r)
     g = len(vcs)
     n_slots = rays8.shape[0]
-    vcg = jnp.stack(vcs, axis=0)  # (g, budget)
+    ray_rows = rays8.shape[1]
+    w_rows, w_cols = w.shape[1], w.shape[2]
+    vcg = _fill_pad(jnp.stack(vcs, axis=0))  # (g, budget)
 
     def tile_map(v, vt, vf, ve, vcg):
         return (vt[v], 0, 0)
 
     def cluster_map(kk):
         def f(v, vt, vf, ve, vcg):
-            return (jnp.maximum(vcg[kk, v], 0), 0, 0)  # -1 pad -> block 0
+            return (_pad_block(vcg[kk, v]), 0, 0)  # pad -> previous block
         return f
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # tile / first / entry / (g, budget) ids
         grid=(budget,),
         in_specs=[
-            pl.BlockSpec((1, SPLIT_ROWS, tile_r), tile_map,
+            pl.BlockSpec((1, ray_rows, tile_r), tile_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, SPLIT_ROWS, 8 * k), cluster_map(kk),
+            pl.BlockSpec((1, w_rows, w_cols), cluster_map(kk),
                          memory_space=pltpu.VMEM)
             for kk in range(g)
         ],
@@ -851,7 +939,8 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
                            memory_space=pltpu.VMEM)] if count_exec else []),
     )
     out = pl.pallas_call(
-        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g, count_exec=count_exec),
+        _make_kernel(k, tile_r, n_slots - 1, T_MIN, g, count_exec=count_exec,
+                     scheme=scheme),
         out_shape=[
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.float32),
             jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32),
@@ -871,7 +960,7 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
 
 
 def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
-                        g: int):
+                        g: int, scheme: str = "native"):
     """Occlusion ("any hit") kernel — hardware shadow rays' cheap path.
 
     Differences from the closest-hit kernel that make shadow batches cheap:
@@ -909,14 +998,21 @@ def _make_anyhit_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float,
 
             def fold(kk, acc):
                 # pre-split bf16 operands + golfed column layout: see
-                # _make_kernel's fold / planar_mats
+                # _make_kernel's fold / planar_mats / _DOT_SCHEMES
                 mm = jax.lax.dot_general(
                     w_refs[kk][0], rays, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (8k, R)
-                tt = mm[2 * k : 3 * k] / mm[6 * k : 7 * k]
-                u = mm[0 * k : 1 * k] + tt * mm[4 * k : 5 * k]
-                vv = mm[1 * k : 2 * k] + tt * mm[5 * k : 6 * k]
-                ww = mm[3 * k : 4 * k] + tt * mm[7 * k : 8 * k]
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_SCHEMES[scheme])  # (8k or 6k, R)
+                if scheme == "bary6":
+                    tt = mm[2 * k : 3 * k] / mm[5 * k : 6 * k]
+                    u = mm[0 * k : 1 * k] + tt * mm[3 * k : 4 * k]
+                    vv = mm[1 * k : 2 * k] + tt * mm[4 * k : 5 * k]
+                    ww = 1.0 - u - vv
+                else:
+                    tt = mm[2 * k : 3 * k] / mm[6 * k : 7 * k]
+                    u = mm[0 * k : 1 * k] + tt * mm[4 * k : 5 * k]
+                    vv = mm[1 * k : 2 * k] + tt * mm[5 * k : 6 * k]
+                    ww = mm[3 * k : 4 * k] + tt * mm[7 * k : 8 * k]
                 q = jnp.minimum(jnp.minimum(u, vv),
                                 jnp.minimum(ww, tt - t_min))
                 ok = (q >= 0.0) & (tt < tmax2)
@@ -960,33 +1056,35 @@ def _check_tile_r(tile_r: int) -> None:
         raise ValueError(f"tile_r={tile_r} must be a multiple of 128 lanes")
 
 
-@partial(jax.jit, static_argnames=("k", "tile_r", "budget"))
+@partial(jax.jit, static_argnames=("k", "tile_r", "budget", "scheme"))
 def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
-                   tile_r: int, budget: int):
+                   tile_r: int, budget: int, scheme: str = "native"):
     """One any-hit launch; returns the updated blocked flags (T+1, 1, R) i32."""
     _check_tile_r(tile_r)
     g = len(vcs)
     n_slots = rays8.shape[0]
-    vcg = jnp.stack(vcs, axis=0)  # (g, budget) — see _launch
+    ray_rows = rays8.shape[1]
+    w_rows, w_cols = w.shape[1], w.shape[2]
+    vcg = _fill_pad(jnp.stack(vcs, axis=0))  # (g, budget) — see _launch
 
     def tile_map(v, vt, vf, ve, vcg):
         return (vt[v], 0, 0)
 
     def cluster_map(kk):
         def f(v, vt, vf, ve, vcg):
-            return (jnp.maximum(vcg[kk, v], 0), 0, 0)  # -1 pad -> block 0
+            return (_pad_block(vcg[kk, v]), 0, 0)  # pad -> previous block
         return f
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(budget,),
         in_specs=[
-            pl.BlockSpec((1, SPLIT_ROWS, tile_r), tile_map,
+            pl.BlockSpec((1, ray_rows, tile_r), tile_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_r), tile_map, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, SPLIT_ROWS, 8 * k), cluster_map(kk),
+            pl.BlockSpec((1, w_rows, w_cols), cluster_map(kk),
                          memory_space=pltpu.VMEM)
             for kk in range(g)
         ],
@@ -995,7 +1093,7 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
         ],
     )
     (out_b,) = pl.pallas_call(
-        _make_anyhit_kernel(k, tile_r, n_slots - 1, T_MIN, g),
+        _make_anyhit_kernel(k, tile_r, n_slots - 1, T_MIN, g, scheme=scheme),
         out_shape=[jax.ShapeDtypeStruct((n_slots, 1, tile_r), jnp.int32)],
         grid_spec=grid_spec,
         interpret=_interpret(),
@@ -1004,9 +1102,10 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
     return jnp.where(touched[:, None, None], out_b, init_b)
 
 
-@partial(jax.jit, static_argnames=("tile_r", "budget", "g"))
+@partial(jax.jit, static_argnames=("tile_r", "budget", "g", "scheme"))
 def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
-                   budget: int, bounds=None, g: int | None = None):
+                   budget: int, bounds=None, g: int | None = None,
+                   scheme: str = "native"):
     """(N,) bool — some triangle lies in (t_min, t_max[i])."""
     if g is None:
         g = max(1, 512 // cs.k)
@@ -1057,7 +1156,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
 
     vt, vcs, vf, ve, _ = make_lo(0, first_b)
     blocked = _launch_anyhit(rays8, tmax3, blocked, vt, vcs, vf, ve, wplanar,
-                             cs.k, tile_r, first_b)
+                             cs.k, tile_r, first_b, scheme=scheme)
 
     total_lo = jnp.sum((counts_lo + g - 1) // g)
     total_hi = jnp.sum((counts_hi + g - 1) // g)
@@ -1076,7 +1175,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
             start, b = state
             vt2, vcs2, vf2, ve2, _ = make_groups(start, bw)
             b2 = _launch_anyhit(rays8, tmax3, b, vt2, vcs2, vf2, ve2, wplanar,
-                                cs.k, tile_r, bw)
+                                cs.k, tile_r, bw, scheme=scheme)
             return start + bw, b2
         return body
 
@@ -1115,10 +1214,11 @@ RANK_CAP = 128  # rank-table width: covers p99 tiles; the rest overflow
 
 
 @partial(jax.jit, static_argnames=("tile_r", "budget", "g", "cap",
-                                   "phase_cap"))
+                                   "phase_cap", "scheme"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
             budget: int, bounds=None, g: int | None = None,
-            cap: int = RANK_CAP, phase_cap: int = 0):
+            cap: int = RANK_CAP, phase_cap: int = 0,
+            scheme: str = "native"):
     """(best_t, best_slot) over all rays (padded to whole tiles inside).
 
     ``g`` (clusters folded per grid step) defaults to 512 // k so a step
@@ -1211,7 +1311,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
             start, bt, bs = state
             vt2, vcs2, vf2, ve2, _ = make_groups(start, b)
             bt2, bs2 = _launch(rays8, bt, bs, vt2, vcs2, vf2, ve2, wplanar,
-                               cs.k, tile_r, b)
+                               cs.k, tile_r, b, scheme=scheme)
             return start + b, bt2, bs2
         return f
 
@@ -1226,7 +1326,8 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
 
         vt1, vcs1, vf1, ve1, _ = make_p1(0, first_b)
         best_t, best_slot = _launch(rays8, best_t, best_slot, vt1, vcs1,
-                                    vf1, ve1, wplanar, cs.k, tile_r, first_b)
+                                    vf1, ve1, wplanar, cs.k, tile_r, first_b,
+                                    scheme=scheme)
         _, best_t, best_slot = jax.lax.while_loop(
             lambda s: s[0] < total1, body(make_p1, refill_b),
             (jnp.int32(first_b), best_t, best_slot))
@@ -1284,7 +1385,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
 
     vt, vcs, vf, ve, _ = make_lo(0, first_b)
     best_t, best_slot = _launch(rays8, best_t, best_slot, vt, vcs, vf, ve,
-                                wplanar, cs.k, tile_r, first_b)
+                                wplanar, cs.k, tile_r, first_b, scheme=scheme)
 
     # Overflow launches walk each phase's group list in refill-sized
     # windows [start, start+b) — strictly new work each launch, so each
@@ -1309,11 +1410,11 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
 
 
 @partial(jax.jit, static_argnames=("tile_r", "budget", "refine",
-                                   "phase_cap"))
+                                   "phase_cap", "scheme"))
 def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
                      tile_r: int = TILE_R, budget: int = VISIT_BUDGET,
                      refine: bool = False, bounds=None,
-                     phase_cap: int = 0) -> Hit:
+                     phase_cap: int = 0, scheme: str = "native") -> Hit:
     """Closest hit via the fused kernel.
 
     By default returns a COARSE hit: ``t`` carries the kernel's packed value
@@ -1334,7 +1435,8 @@ def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
     if t_max is None:
         t_max = jnp.full((n,), T_MAX, jnp.float32)
     best_t, best_slot = _search(origins, dirs, t_max, cs, wplanar, tile_r,
-                                budget, bounds, phase_cap=phase_cap)
+                                budget, bounds, phase_cap=phase_cap,
+                                scheme=scheme)
     hit = best_slot >= 0
     if cs.identity_order:
         tri = best_slot  # geometry is Morton-sorted: slot == triangle id
@@ -1348,9 +1450,10 @@ def intersect_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max=None,
     return Hit(t=jnp.where(hit, best_t, INF), tri=tri, u=zero, v=zero)
 
 
-@partial(jax.jit, static_argnames=("tile_r", "budget"))
+@partial(jax.jit, static_argnames=("tile_r", "budget", "scheme"))
 def occluded_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max,
-                    tile_r: int = TILE_R, budget: int = VISIT_BUDGET):
+                    tile_r: int = TILE_R, budget: int = VISIT_BUDGET,
+                    scheme: str = "native"):
     """Any-hit: True where a triangle lies in (t_min, t_max[i]).
 
     Runs the dedicated any-hit kernel (no packed t|slot machinery; a tile
@@ -1358,4 +1461,5 @@ def occluded_pallas(origins, dirs, cs: ClusterSet, wplanar, t_max,
     occlusion rays terminate on first hit for the same reason (VERDICT r1
     missing #3).
     """
-    return _search_anyhit(origins, dirs, t_max, cs, wplanar, tile_r, budget)
+    return _search_anyhit(origins, dirs, t_max, cs, wplanar, tile_r, budget,
+                          scheme=scheme)

@@ -210,45 +210,74 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None,
             view, shininess = packed[:, 7:10], packed[:, 10]
         unsort = perm
 
-    to_light = lpos[:, None, :] - points[None, :, :]  # (L, N, 3)
-    dist = jnp.linalg.norm(to_light, axis=-1)  # (L, N)
-    ldir = to_light / jnp.maximum(dist, 1e-12)[..., None]
-    cos = jnp.maximum(jnp.einsum("ni,lni->ln", normals, ldir), 0.0)
+    # COMPONENTWISE (L, N) math throughout — rays on the 128-lane axis.
+    # The (L, N, 3)-shaped formulation this replaces used 3 of 128 VPU
+    # lanes AND materialized ~96 MB per intermediate at 2M rays x 4 lights:
+    # jax.profiler showed ~190 ms/frame of such fusions in the Whitted
+    # 1080p frame, several times the intersection kernels themselves.
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+    nxc, nyc, nzc = normals[:, 0], normals[:, 1], normals[:, 2]
+    tx = lpos[:, 0:1] - px[None, :]  # (L, N)
+    ty = lpos[:, 1:2] - py[None, :]
+    tz = lpos[:, 2:3] - pz[None, :]
+    d2 = tx * tx + ty * ty + tz * tz
+    dist = jnp.sqrt(d2)  # (L, N)
+    inv_d = 1.0 / jnp.maximum(dist, 1e-12)
+    lxd, lyd, lzd = tx * inv_d, ty * inv_d, tz * inv_d
+    cos = jnp.maximum(
+        nxc[None, :] * lxd + nyc[None, :] * lyd + nzc[None, :] * lzd, 0.0)
     irrad = linten[:, None] / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2)  # (L, N)
     contrib = irrad * cos
     spec = None
     if view is not None:
-        half = normalize(ldir - view[None, :, :], eps=1e-12)  # (L, N, 3)
-        ndoth = jnp.maximum(jnp.einsum("ni,lni->ln", normals, half), 0.0)
+        # half = normalize(ldir - view); n.h == n.(ldir - view) / |ldir - view|
+        hx = lxd - view[None, :, 0]
+        hy = lyd - view[None, :, 1]
+        hz = lzd - view[None, :, 2]
+        hinv = 1.0 / jnp.maximum(
+            jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-12)
+        ndoth = jnp.maximum(
+            (nxc[None, :] * hx + nyc[None, :] * hy + nzc[None, :] * hz)
+            * hinv, 0.0)
         # Gate on the diffuse cosine so back-facing lights never highlight.
         spec = irrad * jnp.where(cos > 0.0, ndoth ** shininess[None, :], 0.0)
 
     if occluder_fn is not None:
-        shadow_o = points + normals * SHADOW_BIAS  # (N, 3)
+        sox = px + nxc * SHADOW_BIAS  # (N,) each
+        soy = py + nyc * SHADOW_BIAS
+        soz = pz + nzc * SHADOW_BIAS
         # Parked/degenerate wavefront slots carry non-finite points; give
         # them a strictly-positive far ray so their tiles bin to nothing
         # (see render/whitted.py parking note).  Masked-but-live rays KEEP
         # their true geometry — replacing it would blow up the conservative
         # box of any tile mixing masked and unmasked rays — and are disarmed
         # via t_max = 0 instead (zero kernel work, tight boxes).
-        finite = jnp.isfinite(shadow_o).all(axis=-1)
+        finite = (jnp.isfinite(sox) & jnp.isfinite(soy) & jnp.isfinite(soz))
         live = finite
         if unsort is not None and mask is not None:
             # Sorted mode: disarmed rays are segregated to the tail, so
             # parking them cannot blow up an armed tile's box — park them
             # and their tiles bin to zero visits.
             live = finite & mask
-        shadow_o = jnp.where(live[:, None], shadow_o, 1e30)
-        ldir_occ = jnp.where(
-            live[None, :, None] & jnp.isfinite(ldir).all(-1)[..., None],
-            ldir, jnp.array([1.0, 1.0, 1.0]),
-        )
+        sox = jnp.where(live, sox, 1e30)
+        soy = jnp.where(live, soy, 1e30)
+        soz = jnp.where(live, soz, 1e30)
+        ok_l = (live[None, :] & jnp.isfinite(lxd) & jnp.isfinite(lyd)
+                & jnp.isfinite(lzd))
         t_shadow = dist - 2.0 * SHADOW_BIAS
         if mask is not None:
             t_shadow = jnp.where((mask & finite)[None, :], t_shadow, 0.0)
-        origins = jnp.broadcast_to(shadow_o, (n_l, n, 3)).reshape(-1, 3)
+        # The only (L, N, 3) materializations left: the occluder's SoA args.
+        origins = jnp.stack(
+            [jnp.broadcast_to(sox[None, :], (n_l, n)),
+             jnp.broadcast_to(soy[None, :], (n_l, n)),
+             jnp.broadcast_to(soz[None, :], (n_l, n))], axis=-1)
+        dirs_occ = jnp.stack(
+            [jnp.where(ok_l, lxd, 1.0), jnp.where(ok_l, lyd, 1.0),
+             jnp.where(ok_l, lzd, 1.0)], axis=-1)
         blocked = occluder_fn(
-            origins, ldir_occ.reshape(-1, 3), t_shadow.reshape(-1)
+            origins.reshape(-1, 3), dirs_occ.reshape(-1, 3),
+            t_shadow.reshape(-1)
         ).reshape(n_l, n)
         contrib = jnp.where(blocked, 0.0, contrib)
         if spec is not None:

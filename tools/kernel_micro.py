@@ -21,7 +21,7 @@ from directx_raytracer_tpu import testscenes
 from directx_raytracer_tpu.bvh.clustered import build_clusters
 from directx_raytracer_tpu.bvh.pallas_intersect import (
     TILE_R, VISIT_GROUP, bin_clusters_bits, build_visit_groups_bits,
-    planar_mats, rays_split, _launch,
+    planar_mats, planar_mats6, rays_split, _launch,
 )
 from directx_raytracer_tpu.models.scene import build_device_scene
 from directx_raytracer_tpu.ops.rays import generate_rays_tiled, tile_frustum_bounds
@@ -30,20 +30,22 @@ WIDTH, HEIGHT = 1920, 1080
 BUDGET = 16384
 
 
-def timed(fn, n=5, label=""):
+def timed(fn, args, n=5, label=""):
+    """fn(eps, *args) — big arrays ride as jit ARGUMENTS (closing over them
+    bakes literals into the HLO; the remote compiler 413s past ~200 MB)."""
     @jax.jit
-    def run(eps):
+    def run(eps, *args):
         def body(i, carry):
             e, acc = carry
-            out = fn(eps=e)
+            out = fn(e, *args)
             v = jnp.asarray(out).reshape(-1)[0].astype(jnp.float32)
             return jnp.where(jnp.isfinite(v), v, 0.0) * 0.0, acc + v
         _, acc = jax.lax.fori_loop(0, n, body, (eps, jnp.float32(0)))
         return acc
 
-    float(run(jnp.float32(0)))
+    float(run(jnp.float32(0), *args))
     t0 = time.perf_counter()
-    float(run(jnp.float32(0)))
+    float(run(jnp.float32(0), *args))
     dt = (time.perf_counter() - t0) / n
     print(f"{label:40s} {dt*1e3:9.2f} ms", flush=True)
     return dt
@@ -88,24 +90,33 @@ def main():
         jnp.zeros((1, 1, TILE_R), jnp.float32)])
     init_slot = jnp.full((tiles + 1, 1, TILE_R), -1, jnp.int32)
 
-    def launch(eps, ve_mode):
-        if ve_mode == "all":
-            vee = jnp.full_like(ve, -1e30)
-        elif ve_mode == "none":
-            vee = jnp.full_like(ve, 1e30)
-        else:
-            vee = ve
-        bt, bs = _launch(rays8 + eps, init_t, init_slot, vt, vcs, vf, vee, w,
-                         128, TILE_R, BUDGET)
-        return bt[0, 0]
+    def launch(ve_mode, scheme):
+        def f(eps, rays8, init_t, init_slot, vt, vf, ve, w, *vcs):
+            if ve_mode == "all":
+                vee = jnp.full_like(ve, -1e30)
+            elif ve_mode == "none":
+                vee = jnp.full_like(ve, 1e30)
+            else:
+                vee = ve
+            bt, bs = _launch(rays8 + eps, init_t, init_slot, vt, list(vcs),
+                             vf, vee, w, 128, TILE_R, BUDGET, scheme=scheme)
+            return bt[0, 0]
+        return f
 
-    t_real = timed(lambda eps: launch(eps, "real"), label="E_real (production early-out)")
-    t_all = timed(lambda eps: launch(eps, "all"), label="E_all  (every step computes)")
-    t_none = timed(lambda eps: launch(eps, "none"), label="E_none (every step skips)")
     n_groups = int(((np.asarray(counts) + g - 1) // g).sum())
-    print(f"machinery/step      = {t_none/BUDGET*1e6:8.3f} us")
-    print(f"compute/step (real groups, upper) = {(t_all-t_none)/n_groups*1e6:8.3f} us")
-    print(f"early-out saves     = {(t_all-t_real)/max(t_all,1e-9)*100:6.1f}% of all-compute")
+    for scheme, ww in [("native", w), ("bary6", jax.jit(planar_mats6)(cs))]:
+        args = (rays8, init_t, init_slot, vt, vf, ve, ww) + tuple(vcs)
+        t_real = timed(launch("real", scheme), args,
+                       label=f"[{scheme}] E_real (production early-out)")
+        t_all = timed(launch("all", scheme), args,
+                      label=f"[{scheme}] E_all  (every step computes)")
+        t_none = timed(launch("none", scheme), args,
+                       label=f"[{scheme}] E_none (every step skips)")
+        print(f"[{scheme}] machinery/step = {t_none/BUDGET*1e6:8.3f} us")
+        print(f"[{scheme}] compute/step (real groups, upper) = "
+              f"{(t_all-t_none)/n_groups*1e6:8.3f} us")
+        print(f"[{scheme}] early-out saves = "
+              f"{(t_all-t_real)/max(t_all,1e-9)*100:6.1f}% of all-compute")
 
 
 if __name__ == "__main__":
