@@ -1152,6 +1152,13 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
         [t_max.reshape(tiles, 1, tile_r),
          jnp.zeros((1, 1, tile_r), jnp.float32)]
     )
+    # NOTE: disarmed lanes (t_max <= t_min) are left UNblocked even though
+    # seeding them blocked would free the per-tile early-out gate — the
+    # seed's extra tmax3 consumer re-shuffled XLA memory assignment and
+    # cost the Whitted bounce loop its framebuffer VMEM staging (+32 ms at
+    # 1080p, r4 A/B).  Disarmed lanes pin the gate at 0, which only keeps
+    # entry<=0 clusters alive; sorted shadow batches segregate them into
+    # fully-parked tiles anyway.
     blocked = jnp.zeros((tiles + 1, 1, tile_r), jnp.int32)
 
     vt, vcs, vf, ve, _ = make_lo(0, first_b)

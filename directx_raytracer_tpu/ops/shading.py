@@ -265,6 +265,11 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None,
         ok_l = (live[None, :] & jnp.isfinite(lxd) & jnp.isfinite(lyd)
                 & jnp.isfinite(lzd))
         t_shadow = dist - 2.0 * SHADOW_BIAS
+        # NOT gated on cos > 0: backfacing lanes' shadow rays get blocked
+        # by their own surface within the first visit (cheap), while
+        # disarming them (t_max = 0) re-shuffled XLA's memory assignment —
+        # the bounce loop's framebuffer scatter lost its VMEM staging and
+        # the frame got 32 ms SLOWER (r4 A/B, 327 vs 359 ms).
         if mask is not None:
             t_shadow = jnp.where((mask & finite)[None, :], t_shadow, 0.0)
         # The only (L, N, 3) materializations left: the occluder's SoA args.

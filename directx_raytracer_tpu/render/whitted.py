@@ -67,7 +67,7 @@ def _default_occluder(geo):
 
 
 def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
-                  split_at: int | None = None):
+                  split_at: int | None = None, chunk: int | None = None):
     """Compact + coherence-sort candidate rays into a queue of ``capacity``
     with ONE key sort and ONE wide gather.
 
@@ -82,6 +82,13 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
     the transmission half) | direction octant (3b) | origin Morton cell
     (24b).  Coherent tiles for the binned intersector fall out of the
     (octant, Morton) order as before.
+
+    ``chunk``: when set, the survivor gather walks the LIVE PREFIX in
+    chunk-row slices inside a ``while_loop`` instead of gathering all
+    ``capacity`` rows — row gathers are ROW-COUNT-bound (~76 Mrows/s), and
+    the full-capacity gather was 123 ms/frame at 1080p while the surviving
+    wavefront is typically a few percent of it (r4 trace: fusion.3596/3599).
+    Dead slots keep their parked defaults without ever being touched.
 
     Returns (queue, n_alive, n_dropped).
     """
@@ -108,28 +115,53 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
 
     _, order = jax.lax.sort_key_val(key, jnp.arange(q2, dtype=jnp.int32))
     take = min(capacity, q2)
-    packed = jnp.concatenate(
+    n_alive = jnp.sum(active)
+    src = jnp.concatenate(
         [o, d, cand["throughput"],
          jax.lax.bitcast_convert_type(cand["pixel"], jnp.float32)[:, None]],
         axis=1,
-    )[order[:take]]  # ONE wide gather of the survivors
-    if capacity > take:  # chunk-aligned queues can exceed the candidates
-        packed = jnp.pad(packed, ((0, capacity - take), (0, 0)))
-
-    n_alive = jnp.sum(active)
-    live = jnp.arange(capacity) < n_alive
+    )
     # Park dead slots: origin far outside the scene with strictly-positive
     # direction components, so their tiles bin to zero BVH visits (a zero
     # direction span makes the conservative tile box cover everything).
+    park = jnp.array([1e30, 1e30, 1e30, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0,
+                      jax.lax.bitcast_convert_type(
+                          jnp.int32(2**31 - 1), jnp.float32)], jnp.float32)
+    if chunk is None:
+        packed = src[order[:take]]  # ONE wide gather of the survivors
+        if capacity > take:  # chunk-aligned queues can exceed the candidates
+            packed = jnp.pad(packed, ((0, capacity - take), (0, 0)))
+        live = jnp.arange(capacity) < n_alive
+        packed = jnp.where(live[:, None], packed, park[None, :])
+    else:
+        # Chunked survivor gather: only ceil(live / chunk) slices execute.
+        assert capacity % chunk == 0, (capacity, chunk)
+        lim = jnp.minimum(n_alive, take)
+        packed = jnp.broadcast_to(park[None, :], (capacity, 10))
+        # Pad so the final chunk's dynamic_slice never clamps (a clamped
+        # start would misalign rows against the live mask).
+        q2_pad = -(-q2 // chunk) * chunk
+        order = jnp.pad(order, (0, q2_pad - q2))
+
+        def body(carry):
+            ci, buf = carry
+            off = ci * chunk
+            idx = jax.lax.dynamic_slice_in_dim(order, off, chunk)
+            rows = src[idx]  # one chunk-row wide gather
+            live = off + jnp.arange(chunk) < lim
+            rows = jnp.where(live[:, None], rows, park[None, :])
+            return ci + 1, jax.lax.dynamic_update_slice_in_dim(
+                buf, rows, off, axis=0)
+
+        _, packed = jax.lax.while_loop(
+            lambda c: c[0] * chunk < lim, body, (jnp.int32(0), packed))
+
     queue = {
-        "origins": jnp.where(live[:, None], packed[:, 0:3], 1e30),
-        "dirs": jnp.where(live[:, None], packed[:, 3:6],
-                          jnp.array([1.0, 1.0, 1.0])),
+        "origins": packed[:, 0:3],
+        "dirs": packed[:, 3:6],
         "throughput": packed[:, 6:9],
-        "pixel": jnp.where(
-            live, jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32),
-            2**31 - 1),
-        "active": live,
+        "pixel": jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32),
+        "active": jnp.arange(capacity) < n_alive,
     }
     return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
 
@@ -249,7 +281,7 @@ def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
 
 def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn,
                 last: bool, capacity: int | None = None, aligned: bool = False,
-                tile_bounds=None):
+                tile_bounds=None, chunk: int | None = None):
     """One UNCHUNKED wavefront pass (the primary): intersect, shade
     terminals into the framebuffer, emit compacted specular continuations.
     Returns (state', fb', stats).
@@ -270,7 +302,7 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn,
     # overflow drop the Fresnel-reflection half (B) first.
     new_state, n_alive, n_drop = _compact_sort(
         cand, q, geo.scene_lo, geo.scene_hi,
-        split_at=cand_a["origins"].shape[0],
+        split_at=cand_a["origins"].shape[0], chunk=chunk,
     )
     return new_state, framebuffer, {"alive": n_alive, "dropped": n_drop}
 
@@ -326,7 +358,7 @@ def _shade_pass_bounce(dscene, state, framebuffer, n_alive, intersect_fn,
         return None, framebuffer, {"alive": jnp.int32(0),
                                    "dropped": jnp.int32(0)}
     new_state, n_alive2, n_drop = _compact_sort(
-        cand, q, geo.scene_lo, geo.scene_hi, split_at=q,
+        cand, q, geo.scene_lo, geo.scene_hi, split_at=q, chunk=chunk,
     )
     return new_state, framebuffer, {"alive": n_alive2, "dropped": n_drop}
 
@@ -428,6 +460,7 @@ def render_tile(
                     capacity=q_pad,
                     aligned=True,
                     tile_bounds=bounds,
+                    chunk=chunk,
                 )
             else:
                 state, framebuffer, s = _shade_pass_bounce(
