@@ -909,6 +909,12 @@ def _launch(rays8, init_t, init_slot, vt, vcs, vf, ve, w, k: int, tile_r: int,
     n_slots = rays8.shape[0]
     ray_rows = rays8.shape[1]
     w_rows, w_cols = w.shape[1], w.shape[2]
+    # The OPERAND LAYOUT is determined by w's column count (6k = bary6,
+    # 8k = native/f32) — shape wins over the flag so direct callers can't
+    # mispair a bary6 wplanar with the default scheme (the kernel would
+    # slice empty row ranges); the flag still selects the dot precision.
+    scheme = "bary6" if w_cols == 6 * k else (
+        "native" if scheme == "bary6" else scheme)
     vcg = _fill_pad(jnp.stack(vcs, axis=0))  # (g, budget)
 
     def tile_map(v, vt, vf, ve, vcg):
@@ -1067,6 +1073,8 @@ def _launch_anyhit(rays8, tmax, init_b, vt, vcs, vf, ve, w, k: int,
     n_slots = rays8.shape[0]
     ray_rows = rays8.shape[1]
     w_rows, w_cols = w.shape[1], w.shape[2]
+    scheme = "bary6" if w_cols == 6 * k else (  # shape wins — see _launch
+        "native" if scheme == "bary6" else scheme)
     vcg = _fill_pad(jnp.stack(vcs, axis=0))  # (g, budget) — see _launch
 
     def tile_map(v, vt, vf, ve, vcg):

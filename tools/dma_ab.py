@@ -103,11 +103,20 @@ def main():
     bt0, bs0 = full("native", rays48, w_split)
     bt0, bs0 = np.asarray(bt0[:tiles]), np.asarray(bs0[:tiles])
     results = {}
+    # "depth24" is a TIMING-ONLY probe (wrong values: the truncated stacks
+    # drop the mid/lo cross terms): it answers VERDICT r4 #6 — does a
+    # bf16x2-style 24-row contraction beat the 48-row split, or is depth
+    # <= 128 free through the systolic array as the planar_split docstring
+    # claims?  Row slices keep the (8k, R) output/tail identical.
     for scheme, rays, w in [("native", rays48, w_split),
-                            ("bary6", rays48, w_b6)]:
+                            ("bary6", rays48, w_b6),
+                            ("depth24", rays48[:, :24], w_split[:, :24]),
+                            ("depth8", rays8_f32.astype(jnp.bfloat16),
+                             w_split[:, :8])]:
+        kernel_scheme = "native" if scheme.startswith("depth") else scheme
         args = (rays, init_t, init_slot, vt, vf, ve, w) + tuple(vcs)
-        dt = timed(launch(scheme), args, label=f"{scheme}")
-        bt, bs = full(scheme, rays, w)
+        dt = timed(launch(kernel_scheme), args, label=f"{scheme}")
+        bt, bs = full(kernel_scheme, rays, w)
         bt, bs = np.asarray(bt[:tiles]), np.asarray(bs[:tiles])
         mism = float((bs != bs0).mean())
         terr = float(np.nanmax(np.abs(np.where(np.isfinite(bt0),
