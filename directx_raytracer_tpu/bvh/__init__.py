@@ -48,9 +48,10 @@ jax.tree_util.register_pytree_node(
 
 def build_bvh(geometry, k: int = 128, scheme: str = "bary6") -> BVH:
     # scheme="bary6" (drop the third-barycentric operand rows, w' = 1-u-v
-    # on the VPU) is the measured default: +5% at 100k primaries, +0% at
-    # 1M, slot agreement 1 - 1e-6 (r4 tools/dma_ab.py).  "native" keeps
-    # the full 8-group operand; see pallas_intersect._DOT_SCHEMES.
+    # on the VPU) is the measured default: +0-5% vs native across runs
+    # (never worse; tunnel variance ~5%), 25% less cluster DMA, slot
+    # agreement 1 - 1e-6 (r4 tools/dma_ab.py).  "native" keeps the full
+    # 8-group operand; see pallas_intersect._DOT_SCHEMES.
     # k=128 balances cluster-level culling cost (binning/sort scale with C)
     # against per-visit triangle waste; measured best on 100k-tri scenes.
     from .pallas_intersect import planar_mats6

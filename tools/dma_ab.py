@@ -111,6 +111,8 @@ def main():
     for scheme, rays, w in [("native", rays48, w_split),
                             ("bary6", rays48, w_b6),
                             ("depth24", rays48[:, :24], w_split[:, :24]),
+                            ("depth32", rays48[:, :32], w_split[:, :32]),
+                            ("depth16", rays48[:, :16], w_split[:, :16]),
                             ("depth8", rays8_f32.astype(jnp.bfloat16),
                              w_split[:, :8])]:
         kernel_scheme = "native" if scheme.startswith("depth") else scheme
