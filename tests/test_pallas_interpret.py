@@ -325,3 +325,62 @@ def test_tile_r_mosaic_envelope_guard(scene_geo, rays):
                         jnp.full((o.shape[0],), 25.0, jnp.float32), tile_r=64)
     with pytest.raises(ValueError, match="multiple of 128"):
         intersect_pallas(o, dd, bvh.clusters, bvh.wplanar, tile_r=192)
+
+
+def test_operand_schemes_agree(scene_geo, rays):
+    """bary6 (the default: no third-barycentric rows, w' = 1 - u - v on
+    the VPU) and the full 8-group native operand pick the same winners;
+    the scheme rides the BVH so this pins the r4 plumbing."""
+    from directx_raytracer_tpu.bvh.pallas_intersect import planar_mats
+
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    w_native = planar_mats(bvh.clusters)
+    h6 = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar)
+    h8 = intersect_pallas(o, dd, bvh.clusters, w_native, scheme="native")
+    agree = np.mean(np.asarray(h6.tri) == np.asarray(h8.tri))
+    assert agree > 0.999, f"bary6 vs native winner agreement {agree}"
+    both = np.asarray(h6.tri >= 0) & np.asarray(h8.tri >= 0)
+    assert np.allclose(np.asarray(h6.t)[both], np.asarray(h8.t)[both],
+                       rtol=1e-3)
+
+
+def test_scheme_inferred_from_operand_shape(scene_geo, rays):
+    """The operand LAYOUT is determined by wplanar's column count — a
+    bary6 wplanar passed with the default scheme flag must not slice
+    empty mm rows (r4 regression: direct intersect_pallas callers)."""
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    assert bvh.scheme == "bary6"  # the production default
+    # default scheme flag ("native") + bary6-shaped operand: shape wins
+    h_flag = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar)
+    h_expl = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar,
+                              scheme="bary6")
+    assert bool(jnp.all(h_flag.tri == h_expl.tri))
+    assert bool(jnp.all(h_flag.t == h_expl.t))
+    tmax = jnp.full((o.shape[0],), 25.0, jnp.float32)
+    b_flag = occluded_pallas(o, dd, bvh.clusters, bvh.wplanar, tmax)
+    b_expl = occluded_pallas(o, dd, bvh.clusters, bvh.wplanar, tmax,
+                             scheme="bary6")
+    assert bool(jnp.all(b_flag == b_expl))
+
+
+def test_fill_pad_reuses_previous_block():
+    """_fill_pad re-encodes padding sub-visits (-1) as -(prev_id + 2):
+    the index map resolves them to the previous step's block (no DMA)
+    while the >= 0 compute predicate still sees padding."""
+    from directx_raytracer_tpu.bvh.pallas_intersect import (_fill_pad,
+                                                            _pad_block)
+
+    vcg = jnp.asarray([[3, -1, 5, -1, -1, 7],
+                       [-1, 2, -1, -1, 4, -1]], jnp.int32)
+    filled = np.asarray(_fill_pad(vcg))
+    blocks = np.asarray(_pad_block(jnp.asarray(filled)))
+    # real entries unchanged; each pad resolves to its row's previous id
+    assert (filled[0] == [3, -(3 + 2), 5, -(5 + 2), -(5 + 2), 7]).all()
+    assert (blocks[0] == [3, 3, 5, 5, 5, 7]).all()
+    # a pad BEFORE any real entry stays -1 -> block 0
+    assert filled[1, 0] == -1 and blocks[1, 0] == 0
+    assert (blocks[1] == [0, 2, 2, 2, 4, 4]).all()
+    # the compute predicate (>= 0) still classifies every pad as padding
+    assert ((filled >= 0) == (np.asarray(vcg) >= 0)).all()
