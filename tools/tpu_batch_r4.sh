@@ -23,4 +23,9 @@ run twopass_100k python -m tools.twopass_ab 100000 2 4 8
 run twopass_1m  python -m tools.twopass_ab 1000000 2 4 8 16
 run exec_stats  python -m tools.exec_stats 100000 1000000
 run whitted_1080 python -m tools.whitted_bench --width 1920 --height 1080 --depth 3 --frames 5
+# second-session additions: operand schemes/depth probes + culling floor
+run dma_ab_100k python -m tools.dma_ab 100000
+run dma_ab_1m   python -m tools.dma_ab 1000000
+run subtile_100k python -m tools.subtile_ab 100000
+run subtile_1m  python -m tools.subtile_ab 1000000
 echo "=== batch done $(date +%H:%M:%S)" | tee -a /tmp/r4batch/summary.log
