@@ -350,6 +350,45 @@ def main():
     except Exception as e:  # never lose the headline to the second metric
         out["whitted_1080p_ms"] = None
         out["whitted_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Third metric: the reference's OWN headline dispatch — the shipped
+    # Dragon.crtscene at its native 1920x1080 (DXRTRenderer.cpp:1348-1350,
+    # Scenes/Dragon.crtscene) through the production intersector.
+    try:
+        if os.path.exists(DRAGON) and builder is not None:
+            from directx_raytracer_tpu.io import crtscene
+
+            dragon = crtscene.load(DRAGON)
+            ddragon = build_device_scene(dragon)
+            dbvh = builder(ddragon.geometry)
+            ddragon.geometry.accel = dbvh
+            d_ifn = fn_factory(dbvh)
+            dpos, drot = dragon.camera.snapshot()
+            dp = jnp.asarray(dpos, jnp.float32)
+
+            @jax.jit
+            def run_d(ds, pos_in):
+                def body(i, carry):
+                    p2, acc = carry
+                    img = render_debug(ds, p2, drot, mode, WIDTH, HEIGHT,
+                                       intersect_fn=d_ifn,
+                                       fetch_record=False)
+                    v = img[0, 0, 0]
+                    return (p2 + jnp.where(jnp.isfinite(v), v, 0.0) * 0.0,
+                            acc + v)
+                _, acc = jax.lax.fori_loop(0, n_frames, body,
+                                           (pos_in, jnp.float32(0)))
+                return acc
+
+            _stage("compiling dragon loop")
+            float(run_d(ddragon, dp))
+            _stage("timing dragon")
+            t0 = time.perf_counter()
+            float(run_d(ddragon, dp))
+            dt_d = (time.perf_counter() - t0 - overhead) / n_frames
+            out["dragon_1080p_mrays"] = round(n_rays / dt_d / 1e6, 1)
+    except Exception as e:
+        out["dragon_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

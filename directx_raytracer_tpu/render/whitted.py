@@ -17,7 +17,7 @@ shader:
   gather for surface attributes, terminal shading into the framebuffer
   (a plain aligned add on the primary pass; `.at[pixel].add` after
   compaction), then the surviving specular continuations are **compacted**
-  (cumsum prefix + drop-mode scatter) into the next wavefront;
+  (one key sort + a live-prefix chunked gather) into the next wavefront;
 * REFRACTIVE surfaces *split* the ray: the refraction branch (weight
   1 - Fresnel) goes in the first half of the candidate list, the reflection
   branch (weight Fresnel) in the second half, so under queue overflow the
