@@ -210,7 +210,7 @@ def _interval_inv(d_lo, d_hi):
 
 
 def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
-                      impl: str = "pallas"):
+                      impl: str = "pallas", t_cap=None):
     """Sort-free binning: per-tile overlap as 32-bit occupancy WORDS.
 
     The sorted binner's near-to-far order was measured to save ~1% (the
@@ -224,6 +224,14 @@ def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
     kernel (the XLA formulation materializes ~30 (T, C) intermediates in
     HBM — measured 4.4 ms vs ~1 ms at 8100 x 1024); ``impl="xla"`` keeps
     the reference formulation (used by the equivalence tests).
+
+    ``t_cap``: optional (T,) f32 per-tile upper bound in RAW ray-t units
+    (pre ``len_hi`` normalization) — a cluster whose conservative entry
+    exceeds it is dropped from the schedule entirely, inside the fused
+    kernel (tp row 14).  Used by the any-hit path, whose rays END at a
+    known t (the light): the kernel's per-step gate would skip such a
+    group's compute anyway, but every scheduled group still pays fixed
+    step machinery + a budget slot.
 
     Returns (words (T, W) i32, cum (T, W) i32 running popcounts,
     entry (T, >=C) f32 conservative entries (for the group early-out),
@@ -251,6 +259,7 @@ def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
         tp = tp.at[:, 6:9].set(d_lo).at[:, 9:12].set(d_hi)
         tp = tp.at[:, 12].set(1.0 if len_hi is None else len_hi)
         tp = tp.at[:, 13].set(t_min)
+        tp = tp.at[:, 14].set(BIG if t_cap is None else t_cap)
         pad_t = (-tiles) % 8
         if pad_t:  # parked rows: zero-span rays far outside -> no overlap
             park = jnp.zeros((pad_t, 16), jnp.float32)
@@ -277,6 +286,8 @@ def bin_clusters_bits(origins, dirs, cs: ClusterSet, t_min=T_MIN, bounds=None,
 
         overlap = (entry <= exit_) & (exit_ >= t_min) & cs.valid[None, :]
         entry = jnp.maximum(entry, t_min)
+        if t_cap is not None:
+            overlap = overlap & (entry <= t_cap[:, None])
         if bounds is not None and "len_hi" in bounds:
             entry = entry / bounds["len_hi"][:, None]
         pad = (-c) % 32
@@ -342,8 +353,15 @@ def _slab_block(tp, lo_rows, hi_rows, valid_row):
         exit_ = jnp.minimum(exit_, jnp.maximum(jnp.maximum(a, b),
                                                jnp.maximum(cc, d2)))
     t_min = tp[:, 13:14]
-    ovl = (entry <= exit_) & (exit_ >= t_min) & (valid_row > 0.5)
-    return jnp.maximum(entry, t_min) / tp[:, 12:13], ovl
+    entry = jnp.maximum(entry, t_min)
+    # Per-tile schedule cap (tp[:, 14], raw ray-t units, BIG = no cap): the
+    # any-hit path culls clusters past every lane's t_max here, INSIDE the
+    # kernel — an XLA-level (T, C) mask materializes ~100 MB at the primary
+    # shadow pass and evicted the Whitted bounce loop's framebuffer VMEM
+    # staging (+30 ms, r4 A/B).
+    ovl = (entry <= exit_) & (exit_ >= t_min) & (valid_row > 0.5) \
+        & (entry <= tp[:, 14:15])
+    return entry / tp[:, 12:13], ovl
 
 
 def _bin_kernel_super_body(tp_ref, cb_ref, sb_ref, entry_ref, ovl_ref):
@@ -1133,9 +1151,23 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
 
     ot = origins.reshape(tiles, tile_r, 3)
     dt = dirs.reshape(tiles, tile_r, 3)
+    # Shadow rays END at a known t (the light): a cluster whose conservative
+    # entry lies beyond every lane's t_max can never occlude, so drop it at
+    # SCHEDULING time — the kernel's per-step gate already skips its
+    # compute, but each scheduled group still costs fixed step machinery
+    # (~0.44 us, r4 kernel_micro) and a budget slot.  Valid only against
+    # the empirical hull (bounds None), where entry shares the rays' t
+    # units; margin mirrors the phase-2 recull's fp slack.  Fully-disarmed
+    # tiles (all t_max <= 0: parked shadow tails) cap at ~0 and schedule
+    # nothing at all.
+    t_cap = None
+    if bounds is None:
+        tile_tmax = jnp.max(t_max.reshape(tiles, tile_r), axis=1)
+        t_cap = tile_tmax * (1.0 + 2.0 ** -11) + 1e-7
     # Same two-phase scheduling as _search: rank-table fast path for ranks
     # [0, cap), v1 word-search overflow for the rare fat tiles.
-    words, cum, entry, counts = bin_clusters_bits(ot, dt, cs, bounds=bounds)
+    words, cum, entry, counts = bin_clusters_bits(ot, dt, cs, bounds=bounds,
+                                                  t_cap=t_cap)
     cap = min(RANK_CAP, words.shape[1] * 32)
     counts_lo = jnp.minimum(counts, cap)
     counts_hi = counts - counts_lo

@@ -77,6 +77,30 @@ def test_occlusion_matches_bruteforce(scene_geo, rays):
     assert (np.asarray(got) == np.asarray(ref)).mean() > 0.999
 
 
+def test_occlusion_tcap_short_rays(scene_geo, rays):
+    """Schedule-time t-cap: clusters whose conservative entry lies beyond a
+    tile's max t_max are never scheduled.  Short shadow rays (the cap
+    biting hard) must still agree with brute force, and mixed per-lane
+    t_max (the cap is a tile-level MAX) must stay conservative."""
+    scene, d, bvh = scene_geo
+    o, dd = rays
+    for dist in (2.0, 8.0):
+        t_max = jnp.full((o.shape[0],), dist)
+        ref = occluded_bruteforce(o, dd, d.geometry.woop, t_max)
+        got = occluded_pallas(o, dd, bvh.clusters, bvh.wplanar, t_max,
+                              budget=128)
+        assert (np.asarray(got) == np.asarray(ref)).mean() > 0.999, dist
+    # Mixed lanes: half the rays short, half long, interleaved.
+    t_mix = jnp.where(jnp.arange(o.shape[0]) % 2 == 0, 3.0, 30.0)
+    ref = occluded_bruteforce(o, dd, d.geometry.woop, t_mix)
+    got = occluded_pallas(o, dd, bvh.clusters, bvh.wplanar, t_mix, budget=128)
+    assert (np.asarray(got) == np.asarray(ref)).mean() > 0.999
+    # Fully-disarmed batch (t_max <= 0) schedules nothing and blocks nothing.
+    zero = occluded_pallas(o, dd, bvh.clusters, bvh.wplanar,
+                           jnp.zeros((o.shape[0],)), budget=128)
+    assert not np.asarray(zero).any()
+
+
 def test_visit_budget_overflow_keeps_hits(scene_geo, rays):
     """Regression: relaunches seed out_slot from the carried best — hits won
     in an earlier launch must survive redone visits (strict-< fold cannot
