@@ -108,6 +108,7 @@ def _arm_watchdog() -> None:
 NORTH_STAR_MRAYS = 500.0
 WIDTH, HEIGHT = 1920, 1080
 MXU_PEAK_FLOPS = 197e12  # v5e bf16 peak; the kernel's matmuls run f32(HIGH)
+VPU_TAIL_OPS_PER_PAIR = 13  # divide + 2 fma + w' + min tree + packed fold
 DRAGON = "/root/reference/DirectX-RayTracer/DirectX-RayTracer/Scenes/Dragon.crtscene"
 GOLDENS = os.path.join(os.path.dirname(__file__), "tests", "goldens",
                        "dragon_192x108.npz")
@@ -279,7 +280,7 @@ def main():
 
     # Honesty instrumentation: scheduled pairs/ray from the production
     # binner, and the MFU those pairs' Woop matmuls represent.
-    pairs_per_ray = mfu = None
+    pairs_per_ray = mfu = mfu_useful = vpu_tail_gops = None
     breakdown = {"dispatch_overhead_ms": round(overhead * 1e3, 2)}
     try:
         from directx_raytracer_tpu.bvh.pallas_intersect import (
@@ -299,6 +300,16 @@ def main():
         # contraction x 2 flops/MAC (see planar_mats/planar_split)
         flops_per_frame = pairs_per_ray * WIDTH * HEIGHT * 768.0
         mfu = flops_per_frame / dt / MXU_PEAK_FLOPS
+        # USEFUL work is 1/6 of the physical number: the bf16x3 split runs
+        # a 48-deep contraction to reconstruct one 8-deep f32-grade Woop
+        # product (VERDICT r4 weak #4 — report both so the MFU is honest).
+        mfu_useful = mfu / 6.0
+        # The frame's dominant cost is the kernel's per-pair VPU tail
+        # (~13 elementwise ops/pair: divide, 2x fma barycentrics, w', min
+        # tree, packed fold — r4 kernel_micro).  Report its implied issue
+        # rate so the ceiling arithmetic is auditable from this line alone.
+        vpu_tail_gops = (pairs_per_ray * WIDTH * HEIGHT
+                         * VPU_TAIL_OPS_PER_PAIR / dt / 1e9)
         breakdown["frame_ms"] = round(dt * 1e3, 2)
     except Exception:
         pass
@@ -314,6 +325,8 @@ def main():
     if pairs_per_ray is not None:
         out["pairs_per_ray"] = round(pairs_per_ray, 1)
         out["est_mfu"] = round(mfu, 5)
+        out["est_mfu_useful"] = round(mfu_useful, 5)
+        out["vpu_tail_gops"] = round(vpu_tail_gops, 1)
         out["breakdown_ms"] = breakdown
 
     # Second metric of record (VERDICT r3 #8): full Whitted 1080p frame —

@@ -308,7 +308,7 @@ def _bin_kernel_body(tp_ref, cb_ref, entry_ref, ovl_ref):
     """Slab-test 8 tiles x C clusters per grid step, entirely in VMEM.
 
     tp_ref: (8, 16) per-tile interval params
-      [o_lo xyz | o_hi xyz | d_lo xyz | d_hi xyz | len_hi | t_min | pad pad]
+      [o_lo xyz | o_hi xyz | d_lo xyz | d_hi xyz | len_hi | t_min | t_cap | pad]
     cb_ref: (8, C) planar cluster rows
       [lo_x lo_y lo_z hi_x hi_y hi_z valid pad] — fetched once (constant map).
     Writes conservative entry distances and 0/1 overlap flags.

@@ -54,6 +54,16 @@ from ..utils import checks
 # a pixel value — kill them instead of tracing.
 MIN_THROUGHPUT = 1e-3
 
+# Pixel ids ride the compacted queue's packed f32 row as their NUMERIC value
+# (exact for ids < 2^24), never as a bitcast int32 pattern: small ids bitcast
+# to f32 DENORMALS, which the TPU flushes to zero somewhere in the compaction
+# data path — on real hardware every bounce ray's contribution scatter-added
+# to pixel (0,0) while the CPU goldens stayed green (caught by the r5 on-chip
+# Whitted golden test, tests_tpu/test_frames_tpu.py).  2^24 doubles as the
+# parked-lane sentinel: >= any frame's pixel count, so the mode="drop"
+# framebuffer scatter discards it.
+PIXEL_SENTINEL = 1 << 24
+
 
 def _default_intersect(origins, dirs, geo, tile_bounds=None):
     return intersect_bruteforce(origins, dirs, geo.woop)
@@ -118,15 +128,14 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
     n_alive = jnp.sum(active)
     src = jnp.concatenate(
         [o, d, cand["throughput"],
-         jax.lax.bitcast_convert_type(cand["pixel"], jnp.float32)[:, None]],
+         jnp.minimum(cand["pixel"], PIXEL_SENTINEL).astype(jnp.float32)[:, None]],
         axis=1,
     )
     # Park dead slots: origin far outside the scene with strictly-positive
     # direction components, so their tiles bin to zero BVH visits (a zero
     # direction span makes the conservative tile box cover everything).
     park = jnp.array([1e30, 1e30, 1e30, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0,
-                      jax.lax.bitcast_convert_type(
-                          jnp.int32(2**31 - 1), jnp.float32)], jnp.float32)
+                      float(PIXEL_SENTINEL)], jnp.float32)
     if chunk is None:
         packed = src[order[:take]]  # ONE wide gather of the survivors
         if capacity > take:  # chunk-aligned queues can exceed the candidates
@@ -160,7 +169,7 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
         "origins": packed[:, 0:3],
         "dirs": packed[:, 3:6],
         "throughput": packed[:, 6:9],
-        "pixel": jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32),
+        "pixel": packed[:, 9].astype(jnp.int32),
         "active": jnp.arange(capacity) < n_alive,
     }
     return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
@@ -332,7 +341,7 @@ def _shade_pass_bounce(dscene, state, framebuffer, n_alive, intersect_fn,
         "origins": jnp.concatenate([zero3, zero3]),
         "dirs": jnp.ones((2 * q, 3), jnp.float32),
         "throughput": jnp.concatenate([zero3, zero3]),
-        "pixel": jnp.full((2 * q,), 2**31 - 1, jnp.int32),
+        "pixel": jnp.full((2 * q,), PIXEL_SENTINEL, jnp.int32),
         "active": jnp.zeros((2 * q,), bool),
     }
 
@@ -411,6 +420,8 @@ def render_tile(
         queue_factor = 2 if dscene.has_refractive else 1
 
     n_pix = width * rows
+    # Static guard for the queue's f32 pixel-id lane (see PIXEL_SENTINEL).
+    assert n_pix < PIXEL_SENTINEL, (n_pix, PIXEL_SENTINEL)
     # The primary wavefront is generated directly in tile-major order:
     # coherent ray tiles make the binned BVH intersector ~10-30x cheaper,
     # the framebuffer lives in the same order (plain add on the primary

@@ -278,3 +278,43 @@ class TestBinnerOracleEquivalence:
             ep_n, ex_n = np.asarray(ep)[:, :c], np.asarray(ex)[:, :c]
             np.testing.assert_allclose(ep_n[mask], ex_n[mask], rtol=1e-5,
                                        atol=1e-5)
+
+    def test_pallas_bin_t_cap_matches_xla(self):
+        """The kernel-side per-tile t_cap (tp row 14, the any-hit schedule
+        cull) must drop exactly the clusters the XLA formulation drops:
+        same words and counts at a finite cap (ADVICE r4 #2 — before this
+        the cap's parity was only covered via the 99.9% brute-force
+        tolerance)."""
+        import jax.numpy as jnp
+
+        from directx_raytracer_tpu.bvh.pallas_intersect import (
+            bin_clusters_bits,
+        )
+        from directx_raytracer_tpu.ops.rays import generate_rays_tiled
+
+        scene = testscenes.bench_scene(n_tris=5_000, width=96, height=48)
+        d = build_device_scene(scene)
+        bvh = build_bvh(d.geometry)
+        pos, rot = scene.camera.snapshot()
+        o, dd = generate_rays_tiled(jnp.asarray(pos), jnp.asarray(rot),
+                                    96, 48, 8, 32)
+        tiles = o.shape[0] // 256
+        ot, dt = o.reshape(tiles, 256, 3), dd.reshape(tiles, 256, 3)
+        # Mixed caps: some tiles cull most clusters, some none, one culls
+        # everything (t_cap below t_min).
+        rng = np.random.default_rng(7)
+        t_cap = jnp.asarray(rng.uniform(0.0, 60.0, size=(tiles,)),
+                            jnp.float32)
+        t_cap = t_cap.at[0].set(0.0)
+        wp, cp, _, np_ = bin_clusters_bits(ot, dt, bvh.clusters,
+                                           impl="pallas", t_cap=t_cap)
+        wx, cx, _, nx = bin_clusters_bits(ot, dt, bvh.clusters,
+                                          impl="xla", t_cap=t_cap)
+        np.testing.assert_array_equal(np.asarray(np_), np.asarray(nx))
+        w_min = min(wp.shape[1], wx.shape[1])
+        np.testing.assert_array_equal(np.asarray(wp)[:, :w_min],
+                                      np.asarray(wx)[:, :w_min])
+        assert (np.asarray(wp)[:, w_min:] == 0).all()
+        # The cap must actually bite vs the uncapped schedule.
+        *_, n_free = bin_clusters_bits(ot, dt, bvh.clusters, impl="xla")
+        assert int(np.asarray(np_).sum()) < int(np.asarray(n_free).sum())
