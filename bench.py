@@ -283,18 +283,19 @@ def main():
     pairs_per_ray = mfu = mfu_useful = vpu_tail_gops = None
     breakdown = {"dispatch_overhead_ms": round(overhead * 1e3, 2)}
     try:
-        from directx_raytracer_tpu.bvh.pallas_intersect import (
-            TILE_R, bin_clusters_bits)
-        from directx_raytracer_tpu.ops.rays import generate_rays_tiled
+        from directx_raytracer_tpu.bvh.pallas_intersect import bin_clusters_bits
+        from directx_raytracer_tpu.ops.rays import (generate_rays_tiled,
+                                                    pick_schedule)
 
+        (th, tw), tile_r = pick_schedule(HEIGHT, WIDTH)
         o, dd = generate_rays_tiled(p, jnp.asarray(rot, jnp.float32),
-                                    WIDTH, HEIGHT, 8, 32)
-        tiles = o.shape[0] // TILE_R
+                                    WIDTH, HEIGHT, th, tw)
+        tiles = o.shape[0] // tile_r
         cs = bvh.clusters
         # bounds=None: the production path uses the binner's empirical hull
         # (the analytic corner frustum binned +44% pairs — tools/tile_ab.py)
         *_, counts = jax.jit(bin_clusters_bits)(
-            o.reshape(tiles, TILE_R, 3), dd.reshape(tiles, TILE_R, 3), cs)
+            o.reshape(tiles, tile_r, 3), dd.reshape(tiles, tile_r, 3), cs)
         pairs_per_ray = float(np.asarray(counts).mean()) * cs.k
         # physical MXU work per pair: 8 planar output rows x K=48 bf16-split
         # contraction x 2 flops/MAC (see planar_mats/planar_split)

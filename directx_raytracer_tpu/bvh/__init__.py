@@ -57,7 +57,8 @@ def build_bvh(geometry, k: int = 128, scheme: str = "bary6") -> BVH:
     from .pallas_intersect import planar_mats6
 
     cs = build_clusters(geometry, k=k)
-    w = planar_mats6(cs) if scheme == "bary6" else planar_mats(cs)
+    w = (planar_mats6(cs) if scheme in ("bary6", "bary6r")
+         else planar_mats(cs))
     return BVH(cs, w, scheme=scheme)
 
 
@@ -104,17 +105,22 @@ def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536,
         phase_cap = _auto_phase_cap(bvh)
 
     if use_pallas:
-        def intersect(origins, dirs, geometry, tile_bounds=None):
+        def intersect(origins, dirs, geometry, tile_bounds=None, tile_r=tile_r):
             # Prefer the geometry-bound accel (a jit ARGUMENT); the closure
             # fallback embeds the arrays as compile-time constants, which
             # breaks past ~200 MB of operand (see Geometry.accel).
+            # ``tile_r``: per-call ray-chunk override — renderers pass their
+            # primary schedule's chunk (ops.rays.pick_schedule) so the
+            # kernel chunking matches the pixel tiling; sorted secondary
+            # batches leave the default.
             b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
             return intersect_pallas(origins, dirs, b.clusters, b.wplanar,
-                                    bounds=tile_bounds, tile_r=tile_r,
+                                    bounds=tile_bounds,
+                                    tile_r=tile_r or _auto_tile_r(bvh),
                                     phase_cap=phase_cap,
                                     scheme=getattr(b, "scheme", "native"))
     else:
-        def intersect(origins, dirs, geometry, tile_bounds=None):
+        def intersect(origins, dirs, geometry, tile_bounds=None, tile_r=None):
             b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
             return intersect_clustered(origins, dirs, b.clusters, block=block)
 

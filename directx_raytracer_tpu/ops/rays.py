@@ -25,6 +25,26 @@ T_MIN = 0.001
 T_MAX = 10000.0
 
 
+def pick_schedule(rows: int, width: int):
+    """(pixel tile, kernel ray-chunk tile_r) for PRIMARY passes.
+
+    r5 sweep (tools/r5_ab.py, TPU v5e): doubling the kernel chunk to 512
+    rays with a square-ish pixel tile wins ~18% at 100k tris and ~14% at 1M
+    (fewer fixed-cost grid steps AND fewer scheduled pairs/ray) — the
+    r3/r4 sweeps stopped at tile_r in {128, 256} and did not extrapolate.
+    Preference: 16x32 (square-ish, best hull), then 8x64 (1080-row
+    compatible), then the legacy 8x32/256; odd sizes fall back to
+    ``pick_tile``'s divisibility search with 256-ray chunks.
+
+    Sorted secondary wavefronts (bounce/shadow batches) are NOT screen
+    tiles — callers keep the default 256-ray chunking there.
+    """
+    for th, tw in ((16, 32), (8, 64)):
+        if rows % th == 0 and width % tw == 0:
+            return (th, tw), th * tw
+    return pick_tile(rows, width), 256
+
+
 def pick_tile(rows: int, width: int, tile_h: int = 8, tile_w: int = 32):
     """Largest (th, tw) <= (tile_h, tile_w) dividing the image, or None.
 

@@ -184,11 +184,11 @@ def untile_multichip(flat, width: int, height: int, n_tiles: int):
     Stripes are ceil(height / n_tiles) rows each (matching the padded
     row-stripe sharding); surplus rows below the frustum are cropped.
     """
-    from ..ops.rays import pick_tile
+    from ..ops.rays import pick_schedule
     from ..render.debug import untile
 
     rows = -(-height // n_tiles)
-    tile = pick_tile(rows, width)
+    tile, _ = pick_schedule(rows, width)  # must match render_tile's choice
     stripes = flat.reshape(n_tiles, rows * width, 3)
     return jnp.concatenate(
         [untile(s, width, rows, tile) for s in stripes], axis=0

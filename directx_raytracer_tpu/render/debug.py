@@ -24,7 +24,25 @@ import jax.numpy as jnp
 from ..models.scene import DeviceScene
 from ..ops.debug_shading import MISS_COLOR, shade_debug
 from ..ops.intersect import hit_record, intersect_bruteforce
-from ..ops.rays import generate_rays, generate_rays_tiled, pick_tile
+from ..ops.rays import generate_rays, generate_rays_tiled, pick_schedule, pick_tile
+
+
+def isect_kwargs(fn, tile_r):
+    """Kwargs to pass a primary-schedule ray-chunk override to ``fn``.
+
+    Intersect fns are user-supplied callables; only those that declare a
+    ``tile_r`` parameter (the BVH closures, the brute-force default) get
+    the override — third-party fns with the legacy 4-arg signature keep
+    working.  Resolved once at trace time (Python level)."""
+    import inspect
+
+    if tile_r is None:
+        return {}
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return {}
+    return {"tile_r": tile_r} if "tile_r" in params else {}
 
 
 def untile(flat, width: int, height: int, tile):
@@ -69,7 +87,7 @@ def render_debug(
       (H, W, 3) f32 image in [0, 1].
     """
     geo = dscene.geometry
-    tile = pick_tile(height, width)
+    tile, tile_r = pick_schedule(height, width)
     # The binner's empirical per-tile hull (min/max over the tile's
     # NORMALIZED rays) beats the analytic corner frustum on BOTH axes: the
     # corner hull mixes unnormalized direction scales across the tile, which
@@ -87,7 +105,8 @@ def render_debug(
     if intersect_fn is None:
         hit = intersect_bruteforce(origins, dirs, geo.woop)
     else:
-        hit = intersect_fn(origins, dirs, geo, tile_bounds=bounds)
+        hit = intersect_fn(origins, dirs, geo, tile_bounds=bounds,
+                           **isect_kwargs(intersect_fn, tile_r))
 
     # Modes 4-6 consume only the hit distance; the fused-record gather +
     # exact re-intersection exists for ids (modes 0-2) and barycentrics

@@ -45,8 +45,8 @@ import jax.numpy as jnp
 from ..models.material import MaterialType
 from ..models.scene import DeviceScene
 from ..ops.intersect import hit_record, intersect_bruteforce, occluded_bruteforce
-from ..ops.rays import RGSS_OFFSETS, generate_rays, generate_rays_tiled, pick_tile
-from .debug import untile
+from ..ops.rays import RGSS_OFFSETS, generate_rays, generate_rays_tiled, pick_schedule
+from .debug import isect_kwargs, untile
 from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, refract_fresnel
 from ..utils import checks
 
@@ -65,7 +65,7 @@ MIN_THROUGHPUT = 1e-3
 PIXEL_SENTINEL = 1 << 24
 
 
-def _default_intersect(origins, dirs, geo, tile_bounds=None):
+def _default_intersect(origins, dirs, geo, tile_bounds=None, tile_r=None):
     return intersect_bruteforce(origins, dirs, geo.woop)
 
 
@@ -176,7 +176,8 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
 
 
 def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
-                 last: bool, aligned: bool = False, tile_bounds=None):
+                 last: bool, aligned: bool = False, tile_bounds=None,
+                 tile_r=None):
     """Intersect + shade ONE wavefront slice; returns (fb', candidates).
 
     Candidates come back as (A, B) dicts of the slice's length: A = the
@@ -186,7 +187,9 @@ def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
     geo = dscene.geometry
     active = state["active"]
 
-    hit = intersect_fn(state["origins"], state["dirs"], geo, tile_bounds=tile_bounds)
+    hit = intersect_fn(state["origins"], state["dirs"], geo,
+                       tile_bounds=tile_bounds,
+                       **isect_kwargs(intersect_fn, tile_r))
     hit, _, _, _, rec = hit_record(state["origins"], state["dirs"], geo.packed, hit)
     hit_mask = active & hit.mask
     miss_mask = active & ~hit.mask
@@ -294,7 +297,7 @@ def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
 
 def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn,
                 last: bool, capacity: int | None = None, aligned: bool = False,
-                tile_bounds=None, chunk: int | None = None):
+                tile_bounds=None, chunk: int | None = None, tile_r=None):
     """One UNCHUNKED wavefront pass (the primary): intersect, shade
     terminals into the framebuffer, emit compacted specular continuations.
     Returns (state', fb', stats).
@@ -305,7 +308,7 @@ def _shade_pass(dscene, state, framebuffer, intersect_fn, occluder_fn,
     q = capacity or state["origins"].shape[0]
     framebuffer, cands = _shade_chunk(
         dscene, state, framebuffer, intersect_fn, occluder_fn, last,
-        aligned=aligned, tile_bounds=tile_bounds)
+        aligned=aligned, tile_bounds=tile_bounds, tile_r=tile_r)
     if cands is None:
         return None, framebuffer, {"alive": jnp.int32(0),
                                    "dropped": jnp.int32(0)}
@@ -426,7 +429,9 @@ def render_tile(
     # coherent ray tiles make the binned BVH intersector ~10-30x cheaper,
     # the framebuffer lives in the same order (plain add on the primary
     # pass), and the final raster reorder is a pure reshape/transpose.
-    tile = pick_tile(rows, width)
+    # The kernel ray-chunk (tile_r) matches the pixel tile on the PRIMARY
+    # pass only; sorted bounce batches keep the intersector's default.
+    tile, tile_r = pick_schedule(rows, width)
     # Primary passes use the binner's empirical per-tile hull rather than
     # the analytic corner frustum: the corner hull's unnormalized direction
     # scales widen the slab t-intervals (+44% pairs/ray; 34.3 -> 22.9 ms
@@ -476,6 +481,7 @@ def render_tile(
                     aligned=True,
                     tile_bounds=bounds,
                     chunk=chunk,
+                    tile_r=tile_r,
                 )
             else:
                 state, framebuffer, s = _shade_pass_bounce(

@@ -31,7 +31,15 @@ WIDTH, HEIGHT = 1920, 1080
 VARIANTS = {
     "t256": (8, 32, 256),
     "t512": (8, 32, 512),
-    "t512sq": (16, 32, 512),
+    "t512sq": (16, 32, 512),   # NB 16 !| 1080: floor-tiles to 2.058M rays
+    "t512w": (8, 64, 512),     # 1080p-compatible
+    "t512c": (4, 128, 512),    # 1080p-compatible, extreme aspect
+    "t1024sq": (32, 32, 1024),  # probe only (32 !| 1080)
+    "t1024w": (16, 64, 1024),   # probe only
+    "t1024ww": (8, 128, 1024),  # 1080p-compatible
+    "t384sq": (12, 32, 384),    # 1080p-compatible, square-ish
+    "t768sq": (24, 32, 768),    # 1080p-compatible, square
+    "t640sq": (20, 32, 640),    # 1080p-compatible, square-ish
 }
 
 
@@ -87,11 +95,14 @@ def run_variant(name, d, bvh, pos, rot, n_frames=10):
 def main():
     ntris_list = [int(a) for a in sys.argv[1:] if a.isdigit()] or [100_000, 1_000_000]
     variants = [a for a in sys.argv[1:] if a in VARIANTS] or list(VARIANTS)
+    scheme = "bary6"
+    if "--scheme" in sys.argv:
+        scheme = sys.argv[sys.argv.index("--scheme") + 1]
     for ntris in ntris_list:
-        print(f"scene {ntris} tris:", flush=True)
+        print(f"scene {ntris} tris (scheme={scheme}):", flush=True)
         scene = testscenes.bench_scene(n_tris=ntris, width=WIDTH, height=HEIGHT)
         d = build_device_scene(scene)
-        bvh = build_bvh(d.geometry)
+        bvh = build_bvh(d.geometry, scheme=scheme)
         d.geometry.accel = bvh
         pos, rot = scene.camera.snapshot()
         for name in variants:

@@ -30,10 +30,18 @@ TRACE_DIR = "/tmp/dxrt_trace"
 def main():
     ntris = 100_000
     whitted = "--whitted" in sys.argv[1:]
+    dragon = "--dragon" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.isdigit():
             ntris = int(a)
-    scene = testscenes.bench_scene(n_tris=ntris, width=WIDTH, height=HEIGHT)
+    if dragon:
+        from directx_raytracer_tpu.io import crtscene
+        scene = crtscene.load(
+            "/root/reference/DirectX-RayTracer/DirectX-RayTracer/Scenes/"
+            "Dragon.crtscene")
+        ntris = scene.total_triangles if hasattr(scene, "total_triangles") else -1
+    else:
+        scene = testscenes.bench_scene(n_tris=ntris, width=WIDTH, height=HEIGHT)
     d = build_device_scene(scene)
     pos, rot = scene.camera.snapshot()
     bvh = build_bvh(d.geometry)
