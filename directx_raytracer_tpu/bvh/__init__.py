@@ -46,12 +46,14 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_bvh(geometry, k: int = 128, scheme: str = "bary6") -> BVH:
-    # scheme="bary6" (drop the third-barycentric operand rows, w' = 1-u-v
-    # on the VPU) is the measured default: +0-5% vs native across runs
-    # (never worse; tunnel variance ~5%), 25% less cluster DMA, slot
-    # agreement 1 - 1e-6 (r4 tools/dma_ab.py).  "native" keeps the full
-    # 8-group operand; see pallas_intersect._DOT_SCHEMES.
+def build_bvh(geometry, k: int = 128, scheme: str = "bary6r") -> BVH:
+    # scheme="bary6r" (bary6 operands + the VPU's approximate reciprocal in
+    # place of the per-pair divide) is the r5 measured default: +10-15% on
+    # top of bary6 at both 100k and 1M (tools/r5_ab.py --scheme), slot
+    # agreement 1 - 1.3e-4 with hit counts matched to 1e-5 and t drift at
+    # the packed-truncation scale (the exact hit_record MT pass
+    # re-adjudicates t anyway).  "bary6" keeps the exact divide; "native"
+    # keeps the full 8-group operand; see pallas_intersect._DOT_SCHEMES.
     # k=128 balances cluster-level culling cost (binning/sort scale with C)
     # against per-visit triangle waste; measured best on 100k-tri scenes.
     from .pallas_intersect import planar_mats6

@@ -28,18 +28,22 @@ T_MAX = 10000.0
 def pick_schedule(rows: int, width: int):
     """(pixel tile, kernel ray-chunk tile_r) for PRIMARY passes.
 
-    r5 sweep (tools/r5_ab.py, TPU v5e): doubling the kernel chunk to 512
-    rays with a square-ish pixel tile wins ~18% at 100k tris and ~14% at 1M
-    (fewer fixed-cost grid steps AND fewer scheduled pairs/ray) — the
-    r3/r4 sweeps stopped at tile_r in {128, 256} and did not extrapolate.
-    Preference: 16x32 (square-ish, best hull), then 8x64 (1080-row
-    compatible), then the legacy 8x32/256; odd sizes fall back to
-    ``pick_tile``'s divisibility search with 256-ray chunks.
+    r5 sweep (tools/r5_ab.py, TPU v5e): SQUARE-ISH pixel tiles with 2-3x
+    larger kernel chunks win ~15-21% over the legacy 8x32/256 at both
+    scales (fewer fixed-cost grid steps AND tighter hulls -> fewer
+    scheduled pairs/ray); wide tiles (8x64, 4x128) LOSE outright — aspect
+    ratio is the variable that matters, not chunk size (tile_r=1024 buys
+    nothing over 512 at equal aspect).  1080p measured with the production
+    bary6r scheme: 24x32/768 165.8 Mrays/s at 100k tris and 56.2 at 1M
+    (vs 121.0 / 41.9 for the 8x32/256 control on bary6); the r3/r4 sweeps
+    stopped at tile_r in {128, 256} and did not extrapolate.  Preference:
+    24x32, 20x32, 16x32, 12x32; odd sizes fall back to ``pick_tile``'s
+    divisibility search with 256-ray chunks.
 
     Sorted secondary wavefronts (bounce/shadow batches) are NOT screen
     tiles — callers keep the default 256-ray chunking there.
     """
-    for th, tw in ((16, 32), (8, 64)):
+    for th, tw in ((24, 32), (20, 32), (16, 32), (12, 32)):
         if rows % th == 0 and width % tw == 0:
             return (th, tw), th * tw
     return pick_tile(rows, width), 256

@@ -41,7 +41,8 @@ from directx_raytracer_tpu.models.scene import build_device_scene
 from directx_raytracer_tpu.ops.rays import T_MAX
 
 WIDTH, HEIGHT = 1920, 1080
-TILE_H, TILE_W, TILE_R = 8, 32, 256
+# The production primary schedule (ops.rays.pick_schedule at 1080p).
+TILE_H, TILE_W, TILE_R = 24, 32, 768
 
 
 def lowres_rays(pos, rot, stride: int):
