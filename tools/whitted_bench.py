@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--tris", type=int, default=100_000)
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--occ-tile-r", type=int, default=None,
+                    help="occluder ray-chunk (default: kernel TILE_R)")
+    ap.add_argument("--isect-tile-r", type=int, default=None,
+                    help="secondary-batch closest-hit ray-chunk")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -32,8 +36,8 @@ def main():
     d = build_device_scene(scene)
     bvh = build_bvh(d.geometry)
     d.geometry.accel = bvh  # ride jit as an argument, not closure constant
-    isect = make_bvh_intersect_fn(bvh)
-    occf = make_bvh_occluder_factory(bvh)
+    isect = make_bvh_intersect_fn(bvh, tile_r=args.isect_tile_r)
+    occf = make_bvh_occluder_factory(bvh, tile_r=args.occ_tile_r)
     pos, rot = scene.camera.snapshot()
     pos = jnp.asarray(pos, jnp.float32)
     rot = jnp.asarray(rot, jnp.float32)
