@@ -1187,7 +1187,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
     # [0, cap), v1 word-search overflow for the rare fat tiles.
     words, cum, entry, counts = bin_clusters_bits(ot, dt, cs, bounds=bounds,
                                                   t_cap=t_cap)
-    cap = min(RANK_CAP, words.shape[1] * 32)
+    cap = min(_auto_rank_cap(cs.aabb_min.shape[0]), words.shape[1] * 32)
     counts_lo = jnp.minimum(counts, cap)
     counts_hi = counts - counts_lo
     table = rank_table_bits(words, cum, cap)
@@ -1281,11 +1281,22 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
 RANK_CAP = 128  # rank-table width: covers p99 tiles; the rest overflow
 
 
+def _auto_rank_cap(n_clusters: int) -> int:
+    """Scale-dependent rank-table width (r5 tools/r5_1m_ab.py sweep).
+
+    Deep scenes push many tiles past 128 binned clusters into the
+    gather-heavier bits-builder overflow path; widening the table to 256
+    moves them back (1M: 35.4 vs 37.0 ms, repeated x3).  Shallow scenes
+    pay for the wider table instead (100k: 13.0 at 128 vs 13.6 at 256),
+    so the width follows the cluster count."""
+    return RANK_CAP if n_clusters <= 2048 else 256
+
+
 @partial(jax.jit, static_argnames=("tile_r", "budget", "g", "cap",
                                    "phase_cap", "scheme"))
 def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
             budget: int, bounds=None, g: int | None = None,
-            cap: int = RANK_CAP, phase_cap: int = 0,
+            cap: int | None = None, phase_cap: int = 0,
             scheme: str = "native", t_cap=None):
     """(best_t, best_slot) over all rays (padded to whole tiles inside).
 
@@ -1308,6 +1319,8 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     """
     if g is None:
         g = max(1, 512 // cs.k)
+    if cap is None:
+        cap = _auto_rank_cap(cs.aabb_min.shape[0])
     if phase_cap < 0 or phase_cap > cap:
         raise ValueError(f"phase_cap {phase_cap} must lie in [0, cap={cap}]")
     n = origins.shape[0]
