@@ -1155,7 +1155,7 @@ def _search_anyhit(origins, dirs, t_max, cs: ClusterSet, wplanar, tile_r: int,
                    scheme: str = "native"):
     """(N,) bool — some triangle lies in (t_min, t_max[i])."""
     if g is None:
-        g = max(1, 512 // cs.k)
+        g = _auto_g(cs.aabb_min.shape[0], cs.k)
     n = origins.shape[0]
     pad = (-n) % tile_r
     if pad:
@@ -1281,6 +1281,21 @@ def _mt_refine(o, d, slot, cs: ClusterSet):
 RANK_CAP = 128  # rank-table width: covers p99 tiles; the rest overflow
 
 
+def _auto_g(n_clusters: int, k: int) -> int:
+    """Clusters folded per grid step, by scene size (r5 tools/r5_1m_ab.py).
+
+    Tiny scenes (the reference's shipped Dragon: 32 clusters, ~1-2 binned
+    per tile) are FLOOR-bound: most of a g=4 step is padded sub-visit
+    slots, and shrinking the step lowers the whole frame's machinery floor
+    (Dragon 5.8-6.1 -> 5.1-5.3 ms, 362 -> 403 Mrays/s at g=1, repeated
+    x3).  Deeper scenes amortize the per-step fixed cost over real
+    sub-visits and want the 512-triangle step (100k: 159.0 at g=4 vs
+    148.7 at g=1; 1M: g=2/g=4 parity at cap=256)."""
+    if n_clusters <= 256:
+        return 1
+    return max(1, 512 // k)
+
+
 def _auto_rank_cap(n_clusters: int) -> int:
     """Scale-dependent rank-table width (r5 tools/r5_1m_ab.py sweep).
 
@@ -1318,7 +1333,7 @@ def _search(origins, dirs, t_init, cs: ClusterSet, wplanar, tile_r: int,
     the tile can still be improved by it.
     """
     if g is None:
-        g = max(1, 512 // cs.k)
+        g = _auto_g(cs.aabb_min.shape[0], cs.k)
     if cap is None:
         cap = _auto_rank_cap(cs.aabb_min.shape[0])
     if phase_cap < 0 or phase_cap > cap:

@@ -4,9 +4,10 @@ Monte Carlo extension of the Whitted wavefront (render/whitted.py): the same
 fixed-capacity compacted ray queues, but stochastic transport instead of
 deterministic splitting:
 
-* DIFFUSE: next-event estimation against one uniformly-picked point light
-  (shadow ray, same ``intensity / (4 pi r^2) * cos`` model as the Whitted
-  path, so 1-bounce PT matches the Whitted direct term) + cosine-weighted
+* DIFFUSE: full next-event estimation against ALL point lights through the
+  Morton-sorted interleaved shadow machinery (ops.shading.direct_lighting;
+  same ``intensity / (4 pi r^2) * cos`` model as the Whitted path, so
+  1-bounce PT matches the Whitted direct term) + cosine-weighted
   hemisphere continuation (throughput *= albedo — the cos/pdf cancel);
 * REFLECTIVE: deterministic mirror, throughput *= albedo;
 * REFRACTIVE: one stochastic branch chosen with Fresnel probability
@@ -35,7 +36,7 @@ from ..models.material import MaterialType
 from ..models.scene import DeviceScene
 from ..ops.intersect import hit_record
 from ..ops.rays import generate_rays, generate_rays_tiled, pick_schedule, pick_tile
-from ..ops.shading import RAY_BIAS, FOUR_PI, SHADOW_BIAS, hit_attributes, reflect, refract_fresnel
+from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, refract_fresnel
 from ..utils import checks
 from .debug import isect_kwargs, untile
 from .whitted import (PIXEL_SENTINEL, _compact_sort, _default_intersect,
@@ -69,43 +70,6 @@ def _cosine_sample(key, n):
     return x[:, None] * t + y[:, None] * bt + z[:, None] * n
 
 
-def _nee(key, points, normals, lights, occluder_fn, mask=None):
-    """One-light next-event estimation: pick a light uniformly, return its
-    shadowed contribution x n_lights (the inverse pick probability).
-
-    ``mask`` marks rays that need the shadow query; the rest are parked out
-    of the occluder's way (their contribution is discarded anyway)."""
-    n = points.shape[0]
-    n_lights = lights.n_lights
-    if n_lights == 0:
-        return jnp.zeros((n, 1), jnp.float32)
-    pick = jax.random.randint(key, (n,), 0, n_lights)
-    lpos = lights.position[pick]
-    linten = lights.intensity[pick]
-    to_light = lpos - points
-    dist = jnp.linalg.norm(to_light, axis=-1)
-    ldir = to_light / jnp.maximum(dist, 1e-12)[:, None]
-    cos = jnp.maximum(jnp.sum(normals * ldir, axis=-1), 0.0)
-    contrib = linten / (FOUR_PI * jnp.maximum(dist, 1e-12) ** 2) * cos
-    if occluder_fn is not None:
-        shadow_o = points + normals * SHADOW_BIAS
-        # Same parking discipline as ops.shading.direct_lighting: only
-        # non-finite slots move far away; masked live rays keep their
-        # geometry (tight tile boxes) and get t_max = 0.
-        finite = jnp.isfinite(shadow_o).all(axis=-1)
-        shadow_o = jnp.where(finite[:, None], shadow_o, 1e30)
-        ldir = jnp.where(jnp.isfinite(ldir).all(axis=-1, keepdims=True),
-                         ldir, jnp.array([1.0, 1.0, 1.0]))
-        t_shadow = dist - 2.0 * SHADOW_BIAS
-        if mask is not None:
-            t_shadow = jnp.where(mask & finite, t_shadow, 0.0)
-        blocked = occluder_fn(shadow_o, ldir, t_shadow)
-        contrib = jnp.where(blocked, 0.0, contrib)
-    if mask is not None:
-        contrib = jnp.where(mask, contrib, 0.0)
-    return (contrib * n_lights)[:, None]
-
-
 def _pt_shade_chunk(dscene, state, radiance, key, depth, intersect_fn,
                     occluder_fn, tile_r=None):
     """Intersect + shade ONE wavefront slice stochastically; returns
@@ -129,10 +93,20 @@ def _pt_shade_chunk(dscene, state, radiance, key, depth, intersect_fn,
 
     k_nee, k_dir, k_branch, k_rr = jax.random.split(key, 4)
 
-    # Terminal / direct contributions.
+    # Terminal / direct contributions.  NEE sums ALL lights through the
+    # Morton-sorted interleaved shadow machinery (ops.shading
+    # direct_lighting): the sampled-one-light variant (_nee) costs MORE
+    # kernel time than shading every light — unsorted pixel/wavefront-order
+    # shadow tiles mix fore/background points and bin ~7x the clusters, and
+    # even group-coherent picks left the any-hit pass at >50% of the PT
+    # sample (1401 ms; r5 trace) — while full NEE also removes the light-
+    # pick variance.  k_nee stays reserved so downstream RNG streams are
+    # unchanged.
     contrib = jnp.where(miss_mask[:, None], thpt * dscene.background_color[None, :], 0.0)
-    direct = _nee(k_nee, attrs["point"], attrs["normal"], dscene.lights,
-                  occluder_fn, mask=is_diffuse)
+    del k_nee
+    direct = direct_lighting(
+        attrs["point"], attrs["normal"], dscene.lights, occluder_fn,
+        mask=is_diffuse, sort_bounds=(geo.scene_lo, geo.scene_hi))
     contrib += jnp.where(is_diffuse[:, None], thpt * attrs["albedo"] * direct, 0.0)
     contrib += jnp.where(is_constant[:, None], thpt * attrs["albedo"], 0.0)
     # DXRT_CHECK=1 debug build (see utils.checks): guard what reaches the

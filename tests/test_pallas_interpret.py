@@ -375,7 +375,7 @@ def test_scheme_inferred_from_operand_shape(scene_geo, rays):
     empty mm rows (r4 regression: direct intersect_pallas callers)."""
     scene, d, bvh = scene_geo
     o, dd = rays
-    assert bvh.scheme == "bary6"  # the production default
+    assert bvh.scheme == "bary6r"  # the production default (r5)
     # default scheme flag ("native") + bary6-shaped operand: shape wins
     h_flag = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar)
     h_expl = intersect_pallas(o, dd, bvh.clusters, bvh.wplanar,

@@ -33,9 +33,19 @@ def main():
         caps = [int(x) for x in sys.argv[sys.argv.index("--cap") + 1].split(",")]
     n_frames = 10
 
+    if "--dragon" in sys.argv:
+        ntris_list = ["dragon"]
+
     for ntris in ntris_list:
         print(f"scene {ntris} tris (bary6r, {TH}x{TW}/{TILE_R}):", flush=True)
-        scene = testscenes.bench_scene(n_tris=ntris, width=WIDTH, height=HEIGHT)
+        if ntris == "dragon":
+            from directx_raytracer_tpu.io import crtscene
+            scene = crtscene.load(
+                "/root/reference/DirectX-RayTracer/DirectX-RayTracer/"
+                "Scenes/Dragon.crtscene")
+        else:
+            scene = testscenes.bench_scene(n_tris=ntris, width=WIDTH,
+                                           height=HEIGHT)
         d = build_device_scene(scene)
         bvh = build_bvh(d.geometry)
         d.geometry.accel = bvh

@@ -1,7 +1,7 @@
 """Profile the production debug frame: per-op device time from a
 jax.profiler trace (parses the TPU vm.trace.json.gz).
 
-python -m tools.trace_frame [ntris] [--whitted]
+python -m tools.trace_frame [ntris] [--whitted | --pt] [--dragon]
 """
 
 from __future__ import annotations
@@ -30,6 +30,7 @@ TRACE_DIR = "/tmp/dxrt_trace"
 def main():
     ntris = 100_000
     whitted = "--whitted" in sys.argv[1:]
+    pt = "--pt" in sys.argv[1:]
     dragon = "--dragon" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.isdigit():
@@ -52,11 +53,21 @@ def main():
     r = jnp.asarray(rot, jnp.float32)
     n = 5
 
+    if pt:
+        from directx_raytracer_tpu.render.pathtrace import pathtrace_tile
+        key = jax.random.PRNGKey(0)
+
     @jax.jit
     def run(ds, p):
         def body(i, carry):
             pp, acc = carry
-            if whitted:
+            if pt:
+                rad = pathtrace_tile(ds, pp, r, jax.random.fold_in(key, i),
+                                     WIDTH, HEIGHT, max_depth=4,
+                                     intersect_fn=isect,
+                                     occluder_factory=occf)
+                img = rad[None]
+            elif whitted:
                 img, _ = render_whitted(ds, pp, r, WIDTH, HEIGHT, max_depth=3,
                                         intersect_fn=isect,
                                         occluder_factory=occf)
@@ -100,7 +111,7 @@ def main():
             agg[name] += dur
             total += dur
     items = sorted(agg.items(), key=lambda kv: -kv[1])
-    print(f"ntris={ntris} whitted={whitted} frames={n} "
+    print(f"ntris={ntris} whitted={whitted} pt={pt} frames={n} "
           f"(durations are totals over {n} frames)")
     for name, ms in items[:30]:
         print(f"  {ms/n:9.3f} ms/frame  {name[:110]}")
