@@ -130,17 +130,23 @@ def make_bvh_intersect_fn(bvh: BVH, use_pallas: bool = True, block: int = 1536,
 
 
 def make_bvh_occluder_factory(bvh: BVH, use_pallas: bool = True, block: int = 1536,
-                              tile_r: int | None = None):
-    """geometry -> (origins, dirs, max_t) -> bool occluder for shadow rays."""
+                              tile_r: int | None = None,
+                              budget: int | None = None):
+    """geometry -> (origins, dirs, max_t) -> bool occluder for shadow rays.
+
+    ``budget``: any-hit schedule window override (see pallas_intersect
+    VISIT_BUDGET); None = the kernel default."""
     tile_r = tile_r or _auto_tile_r(bvh)
 
     def factory(geometry):
         b = geometry.accel if getattr(geometry, "accel", None) is not None else bvh
         if use_pallas:
             def occluded(origins, dirs, max_t):
+                kw = {} if budget is None else {"budget": budget}
                 return occluded_pallas(origins, dirs, b.clusters,
                                        b.wplanar, max_t, tile_r=tile_r,
-                                       scheme=getattr(b, "scheme", "native"))
+                                       scheme=getattr(b, "scheme", "native"),
+                                       **kw)
         else:
             def occluded(origins, dirs, max_t):
                 return occluded_clustered(origins, dirs, b.clusters, max_t, block=block)

@@ -264,12 +264,15 @@ def direct_lighting(points, normals, lights, occluder_fn, mask=None,
         soz = jnp.where(live, soz, 1e30)
         ok_l = (live[None, :] & jnp.isfinite(lxd) & jnp.isfinite(lyd)
                 & jnp.isfinite(lzd))
-        t_shadow = dist - 2.0 * SHADOW_BIAS
-        # NOT gated on cos > 0: backfacing lanes' shadow rays get blocked
-        # by their own surface within the first visit (cheap), while
-        # disarming them (t_max = 0) re-shuffled XLA's memory assignment —
-        # the bounce loop's framebuffer scatter lost its VMEM staging and
-        # the frame got 32 ms SLOWER (r4 A/B, 327 vs 359 ms).
+        # Gated on cos > 0: a backfacing lane's diffuse AND specular terms
+        # are zero regardless of occlusion, so disarming it (t_max = 0) is
+        # exact and costs the kernel nothing.  r4 measured this 32 ms
+        # SLOWER — but only because the extra consumer re-shuffled XLA's
+        # memory assignment and the bounce loop's framebuffer scatter lost
+        # its VMEM staging; with the r5 deferred-commit restructure the
+        # framebuffer no longer rides that loop's carry (re-measured
+        # against exactly that regression).
+        t_shadow = jnp.where(cos > 0.0, dist - 2.0 * SHADOW_BIAS, 0.0)
         if mask is not None:
             t_shadow = jnp.where((mask & finite)[None, :], t_shadow, 0.0)
         # The only (L, N, 3) materializations left: the occluder's SoA args.

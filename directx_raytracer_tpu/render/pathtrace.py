@@ -71,9 +71,14 @@ def _cosine_sample(key, n):
 
 
 def _pt_shade_chunk(dscene, state, radiance, key, depth, intersect_fn,
-                    occluder_fn, tile_r=None):
+                    occluder_fn, tile_r=None, defer: bool = False):
     """Intersect + shade ONE wavefront slice stochastically; returns
-    (radiance', candidate continuations of the slice's length)."""
+    (radiance', candidate continuations of the slice's length).
+
+    ``defer=True`` (bounce passes): returns the slice's raw (chunk, 3)
+    contributions in place of ``radiance`` (ignored) — the caller commits
+    them after its shading loop, mirroring whitted._shade_pass_bounce's
+    minimal-carry scatter loop."""
     geo = dscene.geometry
     active = state["active"]
     hit = intersect_fn(state["origins"], state["dirs"], geo, tile_bounds=None,
@@ -113,11 +118,17 @@ def _pt_shade_chunk(dscene, state, radiance, key, depth, intersect_fn,
     # accumulator; masked lanes are already zeroed so this flags real bugs.
     checks.check(jnp.all(jnp.isfinite(contrib)),
                  "non-finite radiance contribution in PT bounce")
-    checks.check(
-        jnp.all(~active | ((pixel >= 0) & (pixel < radiance.shape[0]))),
-        "PT wavefront pixel id out of framebuffer range",
-    )
-    radiance = radiance.at[pixel].add(contrib, mode="drop") if depth else radiance + contrib
+    if radiance is not None:
+        checks.check(
+            jnp.all(~active | ((pixel >= 0) & (pixel < radiance.shape[0]))),
+            "PT wavefront pixel id out of framebuffer range",
+        )
+    if defer:
+        radiance = contrib  # caller-committed (see docstring)
+    elif depth:
+        radiance = radiance.at[pixel].add(contrib, mode="drop")
+    else:
+        radiance = radiance + contrib
 
     # Continuations (single stochastic branch per ray).
     n = attrs["normal"]
@@ -199,22 +210,37 @@ def _pt_pass_bounce(dscene, state, radiance, key, depth, intersect_fn,
     }
 
     def body(carry):
-        ci, rad, cand = carry
+        ci, cq, cand = carry
         off = ci * chunk
         sub = {k: jax.lax.dynamic_slice_in_dim(v, off, chunk)
                for k, v in state.items()}
-        rad, sub_cand = _pt_shade_chunk(
-            dscene, sub, rad, jax.random.fold_in(key, ci), depth,
-            intersect_fn, occluder_fn)
+        contrib, sub_cand = _pt_shade_chunk(
+            dscene, sub, None, jax.random.fold_in(key, ci), depth,
+            intersect_fn, occluder_fn, defer=True)
+        cq = jax.lax.dynamic_update_slice_in_dim(cq, contrib, off, axis=0)
         cand2 = {k: jax.lax.dynamic_update_slice_in_dim(
             cand[k], sub_cand[k], off, axis=0) for k in cand}
-        return ci + 1, rad, cand2
+        return ci + 1, cq, cand2
 
     def cond(carry):
         return carry[0] * chunk < n_alive
 
-    _, radiance, cand = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), radiance, cand))
+    # Contributions land in a slot-indexed queue during shading; the
+    # radiance buffer is committed by a second minimal-carry loop (one
+    # slice + one chunk-row scatter-add) — same staging rationale as
+    # whitted._shade_pass_bounce.
+    _, cq, cand = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((q, 3), jnp.float32), cand))
+
+    def commit(carry):
+        ci, rad = carry
+        off = ci * chunk
+        ids = jax.lax.dynamic_slice_in_dim(state["pixel"], off, chunk)
+        vals = jax.lax.dynamic_slice_in_dim(cq, off, chunk)
+        return ci + 1, rad.at[ids].add(vals, mode="drop")
+
+    _, radiance = jax.lax.while_loop(
+        cond, commit, (jnp.int32(0), radiance))
 
     new_state, n_alive2, _ = _compact_sort(cand, q, geo.scene_lo,
                                            geo.scene_hi, chunk=chunk)

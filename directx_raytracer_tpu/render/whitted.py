@@ -177,12 +177,19 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
 
 def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
                  last: bool, aligned: bool = False, tile_bounds=None,
-                 tile_r=None):
+                 tile_r=None, defer: bool = False):
     """Intersect + shade ONE wavefront slice; returns (fb', candidates).
 
     Candidates come back as (A, B) dicts of the slice's length: A = the
     overflow-surviving branch (mirror bounce / refractive transmission),
     B = the droppable Fresnel-reflection branch.  ``None`` when ``last``.
+
+    ``defer=True`` (bounce passes): the slice's raw (chunk, 3) terminal
+    contributions are returned IN PLACE of the framebuffer and the
+    ``framebuffer`` argument is ignored — the caller commits them after
+    its shading loop (see _shade_pass_bounce: carrying the 25 MB
+    framebuffer through the bounce while_loop cost its scatter the VMEM
+    staging, 12 vs 25 Mrows/s = the r4/r5 +32 ms fresh-process mystery).
     """
     geo = dscene.geometry
     active = state["active"]
@@ -240,11 +247,14 @@ def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
     # would be silently dropped by mode="drop" below.
     checks.check(jnp.all(jnp.isfinite(contrib)),
                  "non-finite framebuffer contribution in shade pass")
-    checks.check(
-        jnp.all(~active | ((pixel >= 0) & (pixel < framebuffer.shape[0]))),
-        "wavefront pixel id out of framebuffer range",
-    )
-    if aligned:
+    if framebuffer is not None:
+        checks.check(
+            jnp.all(~active | ((pixel >= 0) & (pixel < framebuffer.shape[0]))),
+            "wavefront pixel id out of framebuffer range",
+        )
+    if defer:
+        framebuffer = contrib  # caller-committed (see docstring)
+    elif aligned:
         framebuffer = framebuffer + contrib
     else:
         framebuffer = framebuffer.at[pixel].add(contrib, mode="drop")
@@ -349,12 +359,14 @@ def _shade_pass_bounce(dscene, state, framebuffer, n_alive, intersect_fn,
     }
 
     def body(carry):
-        ci, fb, cand = carry
+        ci, cq, cand = carry
         off = ci * chunk
         sub = {k: jax.lax.dynamic_slice_in_dim(v, off, chunk)
                for k, v in state.items()}
-        fb, cands = _shade_chunk(dscene, sub, fb, intersect_fn, occluder_fn,
-                                 last, aligned=False, tile_bounds=None)
+        contrib, cands = _shade_chunk(dscene, sub, None, intersect_fn,
+                                      occluder_fn, last, aligned=False,
+                                      tile_bounds=None, defer=True)
+        cq = jax.lax.dynamic_update_slice_in_dim(cq, contrib, off, axis=0)
         if cands is not None:
             ca, cb = cands
             for k in cand:
@@ -362,13 +374,35 @@ def _shade_pass_bounce(dscene, state, framebuffer, n_alive, intersect_fn,
                     cand[k], ca[k], off, axis=0)
                 cand[k] = jax.lax.dynamic_update_slice_in_dim(
                     cand[k], cb[k], q + off, axis=0)
-        return ci + 1, fb, cand
+        return ci + 1, cq, cand
 
     def cond(carry):
         return carry[0] * chunk < n_alive
 
-    _, framebuffer, cand = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), framebuffer, cand))
+    # Shading loop accumulates raw contributions into a slot-indexed queue
+    # (contiguous dynamic_update_slice — no scatter); the framebuffer is
+    # NOT part of this loop's carry.
+    _, cq, cand = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero3, cand))
+
+    # Deferred commit: a second live-prefix loop whose body is just one
+    # slice + one chunk-row scatter-add, with the framebuffer as the ONLY
+    # carry.  Scatter-add into the fb ran at ~12 Mrows/s (10.9 ms per
+    # chunk, 65 ms/frame — the single largest fusion in the r5 trace) when
+    # the fb was carried through the full shading loop above and lost its
+    # VMEM staging; the minimal-carry loop keeps it stageable.
+    # (unique_indices on this scatter measured NO change — 312.8 vs 312.7
+    # ms — the Mosaic row scatter does not exploit the hint; keep the
+    # plain form.)
+    def commit(carry):
+        ci, fb = carry
+        off = ci * chunk
+        ids = jax.lax.dynamic_slice_in_dim(state["pixel"], off, chunk)
+        vals = jax.lax.dynamic_slice_in_dim(cq, off, chunk)
+        return ci + 1, fb.at[ids].add(vals, mode="drop")
+
+    _, framebuffer = jax.lax.while_loop(
+        cond, commit, (jnp.int32(0), framebuffer))
 
     if last:
         return None, framebuffer, {"alive": jnp.int32(0),
@@ -394,6 +428,7 @@ def render_tile(
     occluder_factory=None,
     queue_factor: int | None = None,
     offset_weights=None,
+    chunk_div: int = 16,
 ):
     """Core tile renderer (trace-level; callers jit / shard_map it).
 
@@ -445,9 +480,10 @@ def render_tile(
         offset_weights = jnp.asarray(offset_weights, jnp.float32)
 
     # Bounce queues are chunk-aligned so the chunked bounce passes can walk
-    # just the live prefix (see _shade_pass_bounce).
+    # just the live prefix (see _shade_pass_bounce).  chunk_div=16 is the
+    # r4 sweep optimum (q//32 344.9, q//16 326.8, q//8 335.7 ms at 1080p).
     q = n_pix * queue_factor
-    chunk = -(-max(q // 16, 256) // 256) * 256
+    chunk = -(-max(q // chunk_div, 256) // 256) * 256
     q_pad = -(-q // chunk) * chunk
 
     framebuffer = jnp.zeros((n_pix, 3), jnp.float32)
@@ -533,7 +569,7 @@ def spp_offsets(spp: int):
     jax.jit,
     static_argnames=(
         "width", "height", "max_depth", "spp", "intersect_fn", "occluder_factory",
-        "queue_factor",
+        "queue_factor", "chunk_div",
     ),
 )
 def render_whitted(
@@ -547,6 +583,7 @@ def render_whitted(
     intersect_fn=None,
     occluder_factory=None,
     queue_factor: int | None = None,
+    chunk_div: int = 16,
 ):
     """Render one Whitted frame (single chip).
 
@@ -573,7 +610,7 @@ def render_whitted(
         offsets=jnp.asarray(offs, jnp.float32), weight=1.0 / len(offs),
         row_start=0, rows=height, max_depth=max_depth,
         intersect_fn=intersect_fn, occluder_factory=occluder_factory,
-        queue_factor=queue_factor,
+        queue_factor=queue_factor, chunk_div=chunk_div,
     )
 
 

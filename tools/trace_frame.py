@@ -100,6 +100,7 @@ def main():
         for ev in tr.get("traceEvents", []):
             if ev.get("ph") == "M" and ev.get("name") == "process_name":
                 pid_name[ev.get("pid")] = ev.get("args", {}).get("name", "")
+        srcs = {}
         for ev in tr.get("traceEvents", []):
             if ev.get("ph") != "X":
                 continue
@@ -110,11 +111,20 @@ def main():
             dur = ev.get("dur", 0) / 1e3  # us -> ms
             agg[name] += dur
             total += dur
+            if name not in srcs:
+                a = ev.get("args", {})
+                src = a.get("source", "")
+                shape = ""
+                ln = a.get("long_name", "")
+                if "= " in ln:
+                    shape = ln.split("= ", 1)[1].split(" ", 1)[0]
+                srcs[name] = f"{shape} {src}".strip()
     items = sorted(agg.items(), key=lambda kv: -kv[1])
     print(f"ntris={ntris} whitted={whitted} pt={pt} frames={n} "
           f"(durations are totals over {n} frames)")
     for name, ms in items[:30]:
-        print(f"  {ms/n:9.3f} ms/frame  {name[:110]}")
+        print(f"  {ms/n:9.3f} ms/frame  {name[:28]:28s} "
+              f"{srcs.get(name, '')[:90]}")
     print(f"  {'':9s} total device {total/n:.2f} ms/frame")
 
 

@@ -28,6 +28,10 @@ def main():
                     help="occluder ray-chunk (default: kernel TILE_R)")
     ap.add_argument("--isect-tile-r", type=int, default=None,
                     help="secondary-batch closest-hit ray-chunk")
+    ap.add_argument("--occ-budget", type=int, default=None,
+                    help="any-hit schedule window override")
+    ap.add_argument("--chunk-div", type=int, default=16,
+                    help="bounce chunk = queue // chunk_div")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -37,7 +41,8 @@ def main():
     bvh = build_bvh(d.geometry)
     d.geometry.accel = bvh  # ride jit as an argument, not closure constant
     isect = make_bvh_intersect_fn(bvh, tile_r=args.isect_tile_r)
-    occf = make_bvh_occluder_factory(bvh, tile_r=args.occ_tile_r)
+    occf = make_bvh_occluder_factory(bvh, tile_r=args.occ_tile_r,
+                                     budget=args.occ_budget)
     pos, rot = scene.camera.snapshot()
     pos = jnp.asarray(pos, jnp.float32)
     rot = jnp.asarray(rot, jnp.float32)
@@ -51,7 +56,8 @@ def main():
             pp, acc = carry
             img, stats = render_whitted(
                 d, pp, rot, args.width, args.height, max_depth=args.depth,
-                spp=args.spp, intersect_fn=isect, occluder_factory=occf)
+                spp=args.spp, intersect_fn=isect, occluder_factory=occf,
+                chunk_div=args.chunk_div)
             v = img[0, 0, 0]
             return pp + jnp.where(jnp.isfinite(v), v, 0.0) * 0.0, acc + v
         _, acc = jax.lax.fori_loop(0, n, body, (p, jnp.float32(0)))
