@@ -31,6 +31,9 @@ def main():
         gs = [int(x) for x in sys.argv[sys.argv.index("--g") + 1].split(",")]
     if "--cap" in sys.argv:
         caps = [int(x) for x in sys.argv[sys.argv.index("--cap") + 1].split(",")]
+    kk = 128
+    if "--k" in sys.argv:
+        kk = int(sys.argv[sys.argv.index("--k") + 1])
     n_frames = 10
 
     if "--dragon" in sys.argv:
@@ -47,7 +50,7 @@ def main():
             scene = testscenes.bench_scene(n_tris=ntris, width=WIDTH,
                                            height=HEIGHT)
         d = build_device_scene(scene)
-        bvh = build_bvh(d.geometry)
+        bvh = build_bvh(d.geometry, k=kk)
         d.geometry.accel = bvh
         pos, rot = scene.camera.snapshot()
         p = jnp.asarray(pos, jnp.float32)
