@@ -318,3 +318,25 @@ class TestBinnerOracleEquivalence:
         # The cap must actually bite vs the uncapped schedule.
         *_, n_free = bin_clusters_bits(ot, dt, bvh.clusters, impl="xla")
         assert int(np.asarray(np_).sum()) < int(np.asarray(n_free).sum())
+
+
+class TestAutoSchedule:
+    def test_auto_g_by_scene_size(self):
+        """g=1 for tiny scenes (machinery-floor-bound: Dragon 362 -> 403
+        Mrays/s), 512-triangle steps above (TPU_RUNS_r5.md)."""
+        from directx_raytracer_tpu.bvh.pallas_intersect import _auto_g
+
+        assert _auto_g(32, 128) == 1     # Dragon-sized
+        assert _auto_g(256, 128) == 1
+        assert _auto_g(782, 128) == 4    # 100k bench scene
+        assert _auto_g(8192, 256) == 2   # 512 // k
+
+    def test_auto_rank_cap_by_depth(self):
+        """Rank table widens to 256 past 2048 clusters (1M: 35.4 vs 37.0
+        ms, repeated x3 — TPU_RUNS_r5.md)."""
+        from directx_raytracer_tpu.bvh.pallas_intersect import (
+            _auto_rank_cap)
+
+        assert _auto_rank_cap(782) == 128
+        assert _auto_rank_cap(2048) == 128
+        assert _auto_rank_cap(8192) == 256

@@ -51,3 +51,31 @@ def test_rotation_applied_as_column_vector():
 def test_directions_unit_length():
     _, d = generate_rays(np.zeros(3, np.float32), vm.rot_y(33.0) @ vm.rot_x(10.0), 32, 24)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=1), 1.0, atol=1e-6)
+
+
+def test_pick_schedule_production_shapes():
+    """r5 primary schedule: square-ish tiles with matching kernel chunks
+    (24x32/768 measured fastest at 1080p; see TPU_RUNS_r5.md sweeps)."""
+    from directx_raytracer_tpu.ops.rays import pick_schedule, pick_tile
+
+    assert pick_schedule(1080, 1920) == ((24, 32), 768)
+    assert pick_schedule(360, 640) == ((24, 32), 768)
+    # 108 rows: 24/20/16 do not divide, 12 does.
+    assert pick_schedule(108, 192) == ((12, 32), 384)
+    # Odd sizes fall back to pick_tile's divisibility search + 256 chunks.
+    tile, tile_r = pick_schedule(47, 100)
+    assert tile == pick_tile(47, 100) and tile_r == 256
+
+
+def test_pick_schedule_tile_covers_rows():
+    """Every preferred shape divides the frame it is returned for (the
+    renderers reshape (rows*W) into whole tiles)."""
+    from directx_raytracer_tpu.ops.rays import pick_schedule
+
+    for rows, width in ((1080, 1920), (540, 960), (270, 480), (108, 192),
+                        (360, 640), (300, 400)):
+        tile, tile_r = pick_schedule(rows, width)
+        if tile is not None:
+            th, tw = tile
+            assert rows % th == 0 and width % tw == 0
+            assert th * tw == tile_r or tile_r == 256

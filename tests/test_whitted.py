@@ -331,3 +331,35 @@ class TestConstColorConfig:
         np.testing.assert_allclose(img[16, 16], [1.0, 0.45, 0.1], atol=1e-6)
         # corners = backdrop quad albedo
         np.testing.assert_allclose(img[1, 1], [0.1, 0.35, 0.1], atol=1e-6)
+
+
+def test_backfacing_shadow_disarm_is_exact():
+    """cos>0 shadow disarm (r5): a surface facing AWAY from every light
+    contributes zero diffuse AND specular with or without an occluder, so
+    disarming its shadow ray (t_max=0) cannot change the image."""
+    import jax.numpy as jnp
+
+    from directx_raytracer_tpu.models import LightTable
+    from directx_raytracer_tpu.ops.shading import direct_lighting
+
+    lights = LightTable(
+        position=jnp.array([[0.0, 10.0, 0.0]], jnp.float32),
+        intensity=jnp.array([1000.0], jnp.float32), n_lights=1)
+    points = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    # First point faces the light, second faces away.
+    normals = jnp.array([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]], jnp.float32)
+    mask = jnp.array([True, True])
+
+    calls = []
+
+    def occluder(o, d, t):
+        calls.append(jnp.asarray(t))
+        return jnp.zeros((o.shape[0],), bool)
+
+    lit = direct_lighting(points, normals, lights, occluder, mask=mask)
+    unlit = direct_lighting(points, normals, lights, None, mask=mask)
+    assert float(lit[1, 0]) == 0.0 and float(unlit[1, 0]) == 0.0
+    assert float(lit[0, 0]) > 0.0
+    # The backfacing lane's shadow ray was disarmed (t_max == 0).
+    (t,) = calls
+    assert float(jnp.sort(t)[0]) == 0.0 and float(jnp.sort(t)[-1]) > 0.0
