@@ -821,9 +821,11 @@ def _make_kernel(k: int, tile_r: int, n_real_tiles: int, t_min: float, g: int,
             #   sentinel entry, moving that compare from per-pair to
             #   per-ray (this also re-registers equal-t winners after an
             #   overflow relaunch for free),
-            # * the divide is NOT the bottleneck: an approx-VPU-reciprocal
-            #   variant (eps-expanded validity to stay watertight) measured
-            #   29.16 vs 29.39 ms full-search — keep the exact divide,
+            # * the divide: r4's approx-reciprocal probe measured parity
+            #   (29.16 vs 29.39 ms) at 256-ray chunks, but at the r5
+            #   768-ray production chunks it is a real cost — scheme
+            #   "bary6r" (the default) replaces it with the VPU's approx
+            #   reciprocal for +10-15% (see _DOT_SCHEMES / TPU_RUNS_r5.md),
             # * -1 (padding) sub-visits are predicated off entirely.
             # Pack (t | row) into one sortable i32: for t > 0 the f32
             # bit pattern is order-isomorphic to i32; the 11 low mantissa

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..models.scene import DeviceScene
 from ..ops.debug_shading import MISS_COLOR, shade_debug
 from ..ops.intersect import hit_record, intersect_bruteforce
-from ..ops.rays import generate_rays, generate_rays_tiled, pick_schedule, pick_tile
+from ..ops.rays import generate_rays, generate_rays_tiled, pick_schedule
 
 
 def isect_kwargs(fn, tile_r):

@@ -35,7 +35,7 @@ import numpy as np
 from ..models.material import MaterialType
 from ..models.scene import DeviceScene
 from ..ops.intersect import hit_record
-from ..ops.rays import generate_rays, generate_rays_tiled, pick_schedule, pick_tile
+from ..ops.rays import generate_rays, generate_rays_tiled, pick_schedule
 from ..ops.shading import RAY_BIAS, direct_lighting, hit_attributes, reflect, refract_fresnel
 from ..utils import checks
 from .debug import isect_kwargs, untile
@@ -185,7 +185,7 @@ def _pt_pass(dscene, state, radiance, key, depth, intersect_fn, occluder_fn,
 
 
 def _pt_pass_bounce(dscene, state, radiance, key, depth, intersect_fn,
-                    occluder_fn, n_alive, chunk):
+                    occluder_fn, n_alive, chunk, last: bool = False):
     """One BOUNCE pass, chunked: only ceil(n_alive / chunk) slices execute.
 
     Same live-prefix discipline as whitted._shade_pass_bounce — the queue is
@@ -237,11 +237,22 @@ def _pt_pass_bounce(dscene, state, radiance, key, depth, intersect_fn,
         off = ci * chunk
         ids = jax.lax.dynamic_slice_in_dim(state["pixel"], off, chunk)
         vals = jax.lax.dynamic_slice_in_dim(cq, off, chunk)
+        # The deferred path never traces the in-chunk range check (the
+        # radiance buffer is None there) — enforce the queue invariant
+        # here in the debug build: a live slot's id is in range, a parked
+        # slot's is exactly the sentinel.
+        checks.check(
+            jnp.all((ids >= 0) & ((ids < rad.shape[0])
+                                  | (ids == PIXEL_SENTINEL))),
+            "PT bounce commit pixel id outside framebuffer/sentinel range",
+        )
         return ci + 1, rad.at[ids].add(vals, mode="drop")
 
     _, radiance = jax.lax.while_loop(
         cond, commit, (jnp.int32(0), radiance))
 
+    if last:  # the continuations are never consumed: skip the compaction
+        return None, radiance, jnp.int32(0)
     new_state, n_alive2, _ = _compact_sort(cand, q, geo.scene_lo,
                                            geo.scene_hi, chunk=chunk)
     return new_state, radiance, n_alive2
@@ -279,6 +290,10 @@ def pathtrace_tile(dscene: DeviceScene, cam_position, cam_rotation, key,
         "active": jnp.ones((n_pix,), bool),
     }
     radiance = jnp.zeros((n_pix, 3), jnp.float32)
+    # Static guard for the queue's f32 pixel-id lane (same invariant as
+    # whitted.render_tile — ids past the sentinel would be silently
+    # clamped/dropped by the bounce commit instead of failing loud).
+    assert n_pix < PIXEL_SENTINEL, (n_pix, PIXEL_SENTINEL)
     # Bounce queues are chunk-aligned so the chunked bounce passes can walk
     # just the live prefix (mirrors whitted.render_tile's sizing; PT rays
     # never split, so capacity n_pix suffices).
@@ -293,7 +308,9 @@ def pathtrace_tile(dscene: DeviceScene, cam_position, cam_rotation, key,
         else:
             state, radiance, alive = _pt_pass_bounce(
                 dscene, state, radiance, k, depth, isect, occluder,
-                alive, chunk)
+                alive, chunk, last=(depth == max_depth - 1))
+        if state is None:
+            break
     return radiance
 
 

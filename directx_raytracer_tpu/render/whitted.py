@@ -172,7 +172,14 @@ def _compact_sort(cand: dict, capacity: int, scene_lo, scene_hi,
         "pixel": packed[:, 9].astype(jnp.int32),
         "active": jnp.arange(capacity) < n_alive,
     }
-    return queue, n_alive, jnp.maximum(n_alive - capacity, 0)
+    # The returned count is CLAMPED to the queue capacity: callers use it
+    # as the live-prefix loop bound, and an uncapped count past capacity
+    # would make the clamped dynamic_slice re-execute the final chunk —
+    # idempotent for the slot-indexed writes but NOT for the deferred
+    # commit loops' scatter-ADD (r5 review finding: over-bright pixels
+    # exactly when the overflow-drop path triggers).
+    return (queue, jnp.minimum(n_alive, capacity),
+            jnp.maximum(n_alive - capacity, 0))
 
 
 def _shade_chunk(dscene, state, framebuffer, intersect_fn, occluder_fn,
@@ -399,6 +406,16 @@ def _shade_pass_bounce(dscene, state, framebuffer, n_alive, intersect_fn,
         off = ci * chunk
         ids = jax.lax.dynamic_slice_in_dim(state["pixel"], off, chunk)
         vals = jax.lax.dynamic_slice_in_dim(cq, off, chunk)
+        # The deferred path never traces _shade_chunk's in-pass range
+        # check (its framebuffer is None) — enforce the queue invariant
+        # here in the DXRT_CHECK build: live ids in range, parked ids
+        # exactly the sentinel (the denormal-flush bug class this round
+        # fixed would trip this instead of silently dropping).
+        checks.check(
+            jnp.all((ids >= 0) & ((ids < fb.shape[0])
+                                  | (ids == PIXEL_SENTINEL))),
+            "bounce commit pixel id outside framebuffer/sentinel range",
+        )
         return ci + 1, fb.at[ids].add(vals, mode="drop")
 
     _, framebuffer = jax.lax.while_loop(
