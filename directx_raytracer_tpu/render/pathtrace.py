@@ -246,6 +246,9 @@ def _pt_pass_bounce(dscene, state, radiance, key, depth, intersect_fn,
                                   | (ids == PIXEL_SENTINEL))),
             "PT bounce commit pixel id outside framebuffer/sentinel range",
         )
+        # (gather + scatter-SET measured slower than the plain add in the
+        # whitted twin of this loop — the gather of the loop-carried
+        # buffer costs more than the set saves; see whitted commit note.)
         return ci + 1, rad.at[ids].add(vals, mode="drop")
 
     _, radiance = jax.lax.while_loop(

@@ -398,9 +398,11 @@ def _shade_pass_bounce(dscene, state, framebuffer, n_alive, intersect_fn,
     # chunk, 65 ms/frame — the single largest fusion in the r5 trace) when
     # the fb was carried through the full shading loop above and lost its
     # VMEM staging; the minimal-carry loop keeps it stageable.
-    # (unique_indices on this scatter measured NO change — 312.8 vs 312.7
-    # ms — the Mosaic row scatter does not exploit the hint; keep the
-    # plain form.)
+    # (Two scatter variants measured and rejected on the chip: the
+    # unique_indices hint changed nothing, and gather + add + scatter-SET
+    # — legal here because non-refractive queues hold unique pixels —
+    # read 316.4 vs 312.8 ms: the gather of the loop-carried fb costs
+    # more than the set saves.  Plain scatter-add stays.)
     def commit(carry):
         ci, fb = carry
         off = ci * chunk
