@@ -365,6 +365,45 @@ def main():
         out["whitted_1080p_ms"] = None
         out["whitted_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # Fourth metric: the 1M-triangle primary dispatch (BASELINE config 4's
+    # scale; VERDICT r1 bar) — same methodology as the headline.
+    try:
+        if builder is not None:
+            _stage("building 1M scene")
+            scene1m = testscenes.bench_scene(n_tris=1_000_000, width=WIDTH,
+                                             height=HEIGHT)
+            ds1m = build_device_scene(scene1m)
+            bvh1m = builder(ds1m.geometry)
+            ds1m.geometry.accel = bvh1m
+            ifn1m = fn_factory(bvh1m)
+            mpos, mrot = scene1m.camera.snapshot()
+            mp = jnp.asarray(mpos, jnp.float32)
+            nm = 10
+
+            @jax.jit
+            def run_m(ds, pos_in):
+                def body(i, carry):
+                    p2, acc = carry
+                    img = render_debug(ds, p2, mrot, mode, WIDTH, HEIGHT,
+                                       intersect_fn=ifn1m,
+                                       fetch_record=False)
+                    v = img[0, 0, 0]
+                    return (p2 + jnp.where(jnp.isfinite(v), v, 0.0) * 0.0,
+                            acc + v)
+                _, acc = jax.lax.fori_loop(0, nm, body,
+                                           (pos_in, jnp.float32(0)))
+                return acc
+
+            _stage("compiling 1M loop")
+            float(run_m(ds1m, mp))
+            _stage("timing 1M")
+            t0 = time.perf_counter()
+            float(run_m(ds1m, mp))
+            dt_m = (time.perf_counter() - t0 - overhead) / nm
+            out["mrays_1m_tris"] = round(n_rays / dt_m / 1e6, 1)
+    except Exception as e:  # never lose the headline to an extra metric
+        out["mrays_1m_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # Third metric: the reference's OWN headline dispatch — the shipped
     # Dragon.crtscene at its native 1920x1080 (DXRTRenderer.cpp:1348-1350,
     # Scenes/Dragon.crtscene) through the production intersector.
